@@ -1,0 +1,217 @@
+"""Disparity refinement: LR consistency, occlusion/mismatch filling,
+subpixel parabola fit, median filter, thresholded-Gaussian blur.
+
+Reference kernels: outlier_detection adcensus.cu:878-918,
+interpolate_occlusion adcensus.cu:1079-1125, interpolate_mismatch
+adcensus.cu:1001-1077, subpixel_enchancement adcensus.cu:1205-1239,
+median2d adcensus.cu:1575-1613, mean2d adcensus.cu:1241-1282.
+
+All functions take/return (H, W) float32 maps (the reference's
+(1,1,H,W) with the unit dims dropped).
+
+TPU-native design notes: the reference's per-pixel pointer chases
+become prefix scans (occlusion fill), a bounded ``while_loop`` over ray
+steps (mismatch fill — all rays advance in lock-step, loop exits when
+every ray has landed), vector sorts over a stacked window axis
+(median), and a scan over kernel rows with Toeplitz gathers (blur).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MATCH, OCCLUSION, MISMATCH = 0, 1, 2
+
+
+def outlier_detection(d0: jnp.ndarray, d1: jnp.ndarray, disp_max: int) -> jnp.ndarray:
+    """Label each left-map pixel 0=match / 1=occlusion / 2=mismatch
+    (adcensus.cu:878-898). d0: left-referenced disparity, d1: right."""
+    H, W = d0.shape
+    xs = jnp.arange(W)[None, :]
+    d0i = d0.astype(jnp.int32)
+    off_frame = xs - d0i < 0
+    d1_at = jnp.take_along_axis(d1, jnp.clip(xs - d0i, 0, W - 1), axis=1)
+    match = jnp.abs(d0 - d1_at) < 1.1
+
+    def any_mismatch_ok(carry, d):
+        idx = xs - d
+        t = jnp.take_along_axis(d1, jnp.clip(idx, 0, W - 1), axis=1)
+        ok = (idx >= 0) & (jnp.abs(d - t) < 1.1)
+        return carry | ok, None
+
+    exists, _ = jax.lax.scan(any_mismatch_ok, jnp.zeros((H, W), bool),
+                             jnp.arange(disp_max))
+    out = jnp.where(exists, MISMATCH, OCCLUSION).astype(jnp.float32)
+    out = jnp.where(match & ~off_frame, MATCH, out)
+    out = jnp.where(off_frame, OCCLUSION, out)
+    return out
+
+
+def interpolate_occlusion(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
+    """Fill occluded pixels with the nearest *match* pixel's disparity to
+    the left; if none exists, nearest to the right; else keep
+    (adcensus.cu:1079-1104). Implemented as two prefix max-scans."""
+    H, W = d0.shape
+    xs = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    is_match = outlier == MATCH
+    left_idx = jax.lax.cummax(jnp.where(is_match, xs, -1), axis=1)
+    right_rev = jax.lax.cummax(jnp.where(is_match, W - 1 - xs, -1)[:, ::-1], axis=1)[:, ::-1]
+    right_idx = jnp.where(right_rev >= 0, W - 1 - right_rev, W)
+    left_val = jnp.take_along_axis(d0, jnp.clip(left_idx, 0, W - 1), axis=1)
+    right_val = jnp.take_along_axis(d0, jnp.clip(right_idx, 0, W - 1), axis=1)
+    fill = jnp.where(left_idx >= 0, left_val,
+                     jnp.where(right_idx < W, right_val, d0))
+    return jnp.where(outlier == OCCLUSION, fill, d0)
+
+
+# 16 ray directions, (dx, dy), adcensus.cu:1003-1020
+_RAY_DIRS = np.array([
+    (0, 1), (-0.5, 1), (-1, 1), (-1, 0.5), (-1, 0), (-1, -0.5), (-1, -1),
+    (-0.5, -1), (0, -1), (0.5, -1), (1, -1), (1, -0.5), (1, 0), (1, 0.5),
+    (1, 1), (0.5, 1)], dtype=np.float32)
+
+
+def interpolate_mismatch(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
+    """Fill mismatched pixels with the median of the 16 nearest
+    non-mismatch disparities along fixed rays (adcensus.cu:1001-1057).
+
+    Every ray on every pixel advances in lock-step inside a
+    ``while_loop``; a ray lands on the first probe that is out of frame
+    or not labeled mismatch. Landed in-frame probes contribute d0 at
+    the probe; the result is the upper median (vals[size/2] of the
+    sorted list)."""
+    d0 = jnp.asarray(d0)
+    outlier = jnp.asarray(outlier)
+    H, W = d0.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    dirs = jnp.asarray(_RAY_DIRS)  # (16, 2)
+    t_max = max(H, W) + 2
+
+    is_mm = outlier == MISMATCH
+
+    def in_frame(py, px):
+        return (py >= 0) & (py < H) & (px >= 0) & (px < W)
+
+    def probe(t):
+        px = jnp.round(xs[None] + dirs[:, 0, None, None] * t).astype(jnp.int32)
+        py = jnp.round(ys[None] + dirs[:, 1, None, None] * t).astype(jnp.int32)
+        return py, px
+
+    def cond(state):
+        t, alive, _, _ = state
+        return (t <= t_max) & jnp.any(alive)
+
+    def body(state):
+        t, alive, vals, has = state
+        py, px = probe(t.astype(jnp.float32))
+        inside = in_frame(py, px)
+        o = outlier[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+        still_mm = inside & (o == MISMATCH)
+        landed = alive & ~still_mm
+        landed_valid = landed & inside
+        v = d0[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
+        vals = jnp.where(landed_valid, v, vals)
+        has = has | landed_valid
+        return t + 1, alive & still_mm, vals, has
+
+    alive0 = jnp.broadcast_to(is_mm[None], (16, H, W))
+    vals0 = jnp.zeros((16, H, W), d0.dtype)
+    has0 = jnp.zeros((16, H, W), bool)
+    _, _, vals, has = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), alive0, vals0, has0))
+
+    cnt = has.sum(axis=0)
+    sorted_vals = jnp.sort(jnp.where(has, vals, jnp.inf), axis=0)
+    med = jnp.take_along_axis(sorted_vals, (cnt // 2)[None], axis=0)[0]
+    fill = jnp.where(cnt > 0, med, d0)
+    return jnp.where(is_mm, fill, d0)
+
+
+def subpixel_enhancement(d0: jnp.ndarray, vol: jnp.ndarray, disp_max: int
+                         ) -> jnp.ndarray:
+    """Parabola fit over cost at d-1, d, d+1 (adcensus.cu:1205-1219).
+    vol: (D, H, W). NaN neighbors disable the refinement (the CUDA
+    ``denom > 1e-5`` comparison is false for NaN)."""
+    d = d0.astype(jnp.int32)
+    D = vol.shape[0]
+    vol_dhw = jnp.moveaxis(vol, 0, -1)  # (H, W, D)
+    cn = jnp.take_along_axis(vol_dhw, jnp.clip(d - 1, 0, D - 1)[..., None], -1)[..., 0]
+    cz = jnp.take_along_axis(vol_dhw, jnp.clip(d, 0, D - 1)[..., None], -1)[..., 0]
+    cp = jnp.take_along_axis(vol_dhw, jnp.clip(d + 1, 0, D - 1)[..., None], -1)[..., 0]
+    denom = 2 * (cp + cn - 2 * cz)
+    refined = d - jnp.clip((cp - cn) / denom, -1.0, 1.0)
+    ok = (d >= 1) & (d < disp_max - 1) & (denom > 1e-5)
+    return jnp.where(ok, refined, d).astype(jnp.float32)
+
+
+def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """k×k median with boundary-clipped windows (adcensus.cu:1575-1594):
+    out = sorted(in-frame window values)[count/2]."""
+    assert kernel_size % 2 == 1 and kernel_size <= 11
+    r = kernel_size // 2
+    H, W = img.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    stack, valid = [], []
+    # window iteration order matches adcensus.cu:1584-1590 (xx outer);
+    # irrelevant after the sort but kept for clarity.
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            stack.append(jnp.roll(jnp.roll(img, -dy, 0), -dx, 1))
+            valid.append(((ys + dy >= 0) & (ys + dy < H)
+                          & (xs + dx >= 0) & (xs + dx < W)))
+    vals = jnp.stack(stack)
+    ok = jnp.stack(valid)
+    cnt = ok.sum(axis=0)
+    s = jnp.sort(jnp.where(ok, vals, jnp.inf), axis=0)
+    return jnp.take_along_axis(s, (cnt // 2)[None], axis=0)[0]
+
+
+def gaussian_kernel(sigma: float) -> np.ndarray:
+    """Host-side Gaussian (main.lua:528-540): radius ceil(3σ),
+    unnormalized exp(-(x²+y²)/2σ²)."""
+    kr = math.ceil(sigma * 3)
+    y, x = np.mgrid[-kr:kr + 1, -kr:kr + 1]
+    return np.exp(-(x * x + y * y) / (2.0 * sigma * sigma)).astype(np.float32)
+
+
+def mean2d(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float) -> jnp.ndarray:
+    """Thresholded-Gaussian blur (adcensus.cu:1241-1261): weighted mean
+    over the kernel window, excluding neighbors whose value differs
+    from the center by >= alpha2, boundary-clipped.
+
+    Scans over kernel rows; each row's column taps are one Toeplitz
+    gather + masked reduction."""
+    ksz = kernel.shape[0]
+    assert ksz % 2 == 1
+    r = ksz // 2
+    H, W = img.shape
+    ys = jnp.arange(H)[:, None]
+    pad = jnp.pad(img, ((0, 0), (r, r)), constant_values=jnp.nan)
+    idx = jnp.arange(W)[:, None] + jnp.arange(ksz)[None, :]  # (W, ksz) -> x+dx+r
+    # kernel[i] indexed as i = (dx+r)*ksz + (dy+r) (adcensus.cu:1251-1252);
+    # with a symmetric Gaussian the transpose is identical, use [dy, dx].
+    kern = jnp.asarray(kernel)
+
+    def row_step(carry, dy):
+        acc, cnt = carry
+        shifted = jnp.roll(pad, -dy, axis=0)  # row y+dy
+        row_ok = (ys + dy >= 0) & (ys + dy < H)
+        windows = shifted[:, idx]  # (H, W, ksz) = img[y+dy, x+dx]
+        w = kern[dy + r][None, None, :]
+        ok = (row_ok[..., None] & ~jnp.isnan(windows)
+              & (jnp.abs(windows - img[..., None]) < alpha2))
+        wv = jnp.where(ok, w, 0.0)
+        acc = acc + jnp.sum(wv * jnp.where(ok, windows, 0.0), axis=-1)
+        cnt = cnt + jnp.sum(wv, axis=-1)
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(
+        row_step, (jnp.zeros_like(img), jnp.zeros_like(img)),
+        jnp.arange(-r, r + 1))
+    return acc / cnt

@@ -1,0 +1,153 @@
+"""Semiglobal matching, TPU-native.
+
+Behavior contract: the reference's production kernel ``sgm2``
+(adcensus.cu:535-697) — four scanline sweeps (→ ← ↓ ↑), each a
+wavefront DP over columns/rows with per-step adaptive penalties from
+image gradients, results **summed** over directions (the caller divides
+by 4, main.lua:1017-1020).
+
+TPU-native design: each sweep is one ``lax.scan`` over the sweep axis,
+carrying the whole wavefront — a (scanlines, D) block — as VPU-resident
+state. The per-step work is dense vector math:
+
+    cost  = fmin(prev, prev[d-1]+P1a, prev[d+1]+P1b, min_d(prev)+P2)
+    val   = vol_step + cost - min_d(prev)
+
+NaN cells (out-of-frame disparities) flow through exactly like the
+reference: CUDA ``min()`` is ``fminf`` (NaN-ignoring), replicated here
+with ``jnp.fmin``; the running minimum uses inf-substitution like the
+``<``-based tree reduction at adcensus.cu:579-584.
+
+Penalty selection (adcensus.cu:586-605):
+    D1 = |x0[p] - x0[p - step]|,  D2 = |x1[q] - x1[q - step]| at
+    q = p + d*direction (10 when q or q-step leaves the frame);
+    both < tau_so -> (pi1, pi2); both > tau_so -> /(q1*q2); else /q1.
+    Vertical sweeps divide the d-1 (down) or d+1 (up) neighbor penalty
+    by alpha1 (adcensus.cu:608-613).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.inf
+
+
+def _penalties(D1, D2, pi1, pi2, tau_so, q1, q2):
+    """3-way penalty selection; equality falls in the middle case
+    (strict comparisons, adcensus.cu:596-605)."""
+    both_lo = (D1 < tau_so) & (D2 < tau_so)
+    both_hi = (D1 > tau_so) & (D2 > tau_so)
+    P1 = jnp.where(both_lo, pi1, jnp.where(both_hi, pi1 / (q1 * q2), pi1 / q1))
+    P2 = jnp.where(both_lo, pi2, jnp.where(both_hi, pi2 / (q1 * q2), pi2 / q1))
+    return P1, P2
+
+
+def _shift_d(x, shift, fill):
+    """Shift along the last (disparity) axis; out-of-range filled."""
+    return jnp.full_like(x, fill).at[..., max(0, shift):x.shape[-1] + min(0, shift)].set(
+        x[..., max(0, -shift):x.shape[-1] - max(0, shift)])
+
+
+def _sweep(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir):
+    """One directional sweep.
+
+    vol_s: (T, S, D) volume slices along the sweep axis (T steps,
+    S scanlines, D disparities), already ordered in sweep direction.
+    d1_s: (T, S) per-step D1; d2_s: (T, S, D) per-step D2.
+    Step 0 initializes the recurrence (adcensus.cu:567-572).
+    Returns (T, S, D) per-step DP values in sweep order.
+    """
+    p1a_div = alpha1 if sgm_dir == 2 else 1.0  # d-1 neighbor (adcensus.cu:609)
+    p1b_div = alpha1 if sgm_dir == 3 else 1.0  # d+1 neighbor (adcensus.cu:612)
+
+    def step(prev, inp):
+        cur, D1, D2 = inp
+        prev_min = jnp.min(jnp.where(jnp.isnan(prev), _BIG, prev), axis=-1,
+                           keepdims=True)
+        P1, P2 = _penalties(D1[:, None], D2, pi1, pi2, tau_so, q1, q2)
+        cost = jnp.fmin(prev, prev_min + P2)
+        cost = jnp.fmin(cost, _shift_d(prev, 1, _BIG) + P1 / p1a_div)
+        cost = jnp.fmin(cost, _shift_d(prev, -1, _BIG) + P1 / p1b_div)
+        val = cur + cost - prev_min
+        return val, val
+
+    init = vol_s[0]
+    _, rest = jax.lax.scan(step, init, (vol_s[1:], d1_s[1:], d2_s[1:]))
+    return jnp.concatenate([init[None], rest], axis=0)
+
+
+def _grad_with_sentinel(img, axis, step, sentinel=None):
+    """|img - shift(img by -step along axis)| with out-of-frame handling.
+
+    out[i] = |img[i] - img[i-step]|; positions where i-step is out of
+    frame get `sentinel` (or 0 meaning "unused / init step" when None).
+    """
+    n = img.shape[axis]
+    idx = jnp.arange(n) - step
+    valid = (idx >= 0) & (idx < n)
+    shifted = jnp.take(img, jnp.clip(idx, 0, n - 1), axis=axis)
+    g = jnp.abs(img - shifted)
+    if sentinel is not None:
+        shape = [1, 1]
+        shape[axis] = n
+        g = jnp.where(valid.reshape(shape), g, sentinel)
+    return g
+
+
+def _d2_columns(x1, dx, dy, direction, D):
+    """D2 lookup table: d2col[y, x] = |x1[y,x] - x1[y-dy,x-dx]| with 10
+    where x or x-dx leaves the frame (adcensus.cu:588-594). Padded by D
+    on the x axis so gathers at x + d*direction stay in range; pad = 10.
+    """
+    H, W = x1.shape
+    g = jnp.abs(x1 - jnp.roll(jnp.roll(x1, dy, axis=0), dx, axis=1))
+    xs = jnp.arange(W)
+    ok = (xs - dx >= 0) & (xs - dx < W)
+    g = jnp.where(ok[None, :], g, 10.0)
+    return jnp.pad(g, ((0, 0), (D, D)), constant_values=10.0)
+
+
+def sgm(x0: jnp.ndarray, x1: jnp.ndarray, vol: jnp.ndarray, *, pi1: float,
+        pi2: float, tau_so: float, alpha1: float, sgm_q1: float,
+        sgm_q2: float, direction: int) -> jnp.ndarray:
+    """All four sweeps, summed (caller divides by 4). vol: (D, H, W)."""
+    D, H, W = vol.shape
+    q1, q2 = sgm_q1, sgm_q2
+    ds = jnp.arange(D)
+
+    out = jnp.zeros_like(vol)
+
+    # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
+    vol_x = jnp.transpose(vol, (2, 1, 0))  # (W, H, D) steps along x
+    for sgm_dir, dx in ((0, 1), (1, -1)):
+        d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W)
+        d2col = _d2_columns(x1, dx, 0, direction, D)   # (H, W+2D)
+        # D2[x] = d2col[:, x + d*direction] — contiguous in d
+        starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
+        d2_all = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(d2col, (0, s), (H, D)))(starts)
+        if direction < 0:
+            d2_all = d2_all[..., ::-1]
+        order = slice(None) if dx == 1 else slice(None, None, -1)
+        res = _sweep(vol_x[order], d1.T[order], d2_all[order],
+                     pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
+        out = out + jnp.transpose(res[order], (2, 1, 0))
+
+    # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
+    vol_y = jnp.transpose(vol, (1, 2, 0))  # (H, W, D) steps along y
+    idx = jnp.clip(jnp.arange(W)[:, None] + ds[None, :] * direction + D,
+                   0, W + 2 * D - 1)  # (W, D) Toeplitz gather into padded rows
+    for sgm_dir, dy in ((2, 1), (3, -1)):
+        d1 = _grad_with_sentinel(x0, axis=0, step=dy)  # (H, W)
+        d2col = _d2_columns(x1, 0, dy, direction, D)   # (H, W+2D)
+        d2_all = d2col[:, idx]                         # (H, W, D)
+        order = slice(None) if dy == 1 else slice(None, None, -1)
+        res = _sweep(vol_y[order], d1[order], d2_all[order],
+                     pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
+        out = out + jnp.transpose(res[order], (2, 0, 1))
+
+    return out

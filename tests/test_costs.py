@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+import naive
+from mccnn_tpu.ops import costs
+
+rng = np.random.RandomState(42)
+
+
+def assert_close(a, b, tol=2e-5):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    nan_a, nan_b = np.isnan(a), np.isnan(b)
+    assert (nan_a == nan_b).all(), "NaN pattern mismatch"
+    d = np.abs(a[~nan_a] - b[~nan_b])
+    assert d.size == 0 or d.max() < tol, f"max diff {d.max()}"
+
+
+@pytest.mark.parametrize("direction", [-1, 1])
+def test_ad(direction):
+    x0 = rng.randn(10, 20).astype(np.float32)
+    x1 = rng.randn(10, 20).astype(np.float32)
+    got = costs.ad_volume(x0, x1, 7, direction)
+    want = naive.ad(x0, x1, 7, direction)
+    assert_close(got, want)
+
+
+@pytest.mark.parametrize("direction", [-1, 1])
+def test_census(direction):
+    x0 = rng.randn(10, 20).astype(np.float32)
+    x1 = rng.randn(10, 20).astype(np.float32)
+    got = costs.census_volume(x0, x1, 6, direction)
+    want = naive.census(x0, x1, 6, direction)
+    assert_close(got, want)
+
+
+def test_census_multichannel():
+    x0 = rng.randn(3, 8, 14).astype(np.float32)
+    x1 = rng.randn(3, 8, 14).astype(np.float32)
+    got = costs.census_volume(x0, x1, 5, -1)
+    want = naive.census(x0, x1, 5, -1)
+    assert_close(got, want)
+
+
+def test_stereo_join():
+    fl = rng.randn(10, 20, 16).astype(np.float32)
+    fr = rng.randn(10, 20, 16).astype(np.float32)
+    got_l, got_r = costs.stereo_join(fl, fr, 9)
+    want_l, want_r = naive.stereo_join(fl, fr, 9)
+    assert_close(got_l, want_l)
+    assert_close(got_r, want_r)
+
+
+def test_fix_border():
+    vol = rng.randn(4, 5, 12).astype(np.float32)
+    n = 3
+    out = np.asarray(costs.fix_border(vol, -1, n))
+    want = vol.copy()
+    for i in range(1, n + 1):
+        want[..., -i] = vol[..., -(n + 1)]
+    assert_close(out, want)
+    out = np.asarray(costs.fix_border(vol, 1, n))
+    want = vol.copy()
+    for i in range(n):
+        want[..., i] = vol[..., n]
+    assert_close(out, want)
+
+
+def test_wta_nan_and_ties():
+    vol = np.array([[[np.nan, 3.0]], [[2.0, 1.0]], [[2.0, 1.0]]], np.float32)
+    out = np.asarray(costs.wta(vol))
+    assert out[0, 0] == 1  # NaN at d=0 never wins
+    assert out[0, 1] == 1  # tie -> lowest d
