@@ -1,0 +1,186 @@
+"""The stereo inference pipeline.
+
+Orchestration contract: ``stereo_predict`` (main.lua:929-1082) —
+per-arch cost volumes, then per reference direction: CBCA → SGM →
+CBCA → WTA; then (KITTI only) LR outlier detection + occlusion and
+mismatch filling; then subpixel refinement (reading the
+last-processed direction's volume, which is always the left/-1
+volume), 5×5 median, and thresholded-Gaussian blur.
+
+``sm_terminate`` stops the method after a named stage and ``sm_skip``
+skips one stage, with the exact gate placement of main.lua:988-1080
+(including the quirk that the mismatch stage is skipped by
+``-sm_skip occlusion``).
+
+Everything numeric is jitted; the per-(cfg, shape) pipelines are
+cached on first use.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.config import Config
+from mccnn_tpu.models import towers
+from mccnn_tpu.ops import costs, cross, post, sgm as sgm_mod
+
+
+def slow_cost_volumes(params, x0, x1, disp_max: int, dtype=jnp.float32):
+    """Accurate-arch cost volumes over full images.
+
+    The reference runs the conv tower once per image and then loops
+    d = 1..disp_max, applying the FC head (as 1×1 convs) to
+    shift-concatenated feature maps (main.lua:962-977). Here the head
+    is a dense pytree applied under a ``lax.scan`` over disparity — on
+    TPU each step is one (H·W, 2C)×(2C, nh2) MXU matmul chain.
+
+    Returns (vol_L, vol_R), each (D, H, W), NaN out of frame; output is
+    P(non-match) in (0,1), lower = better.
+    """
+    feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
+                               arch="slow", padding="SAME", dtype=dtype)
+    fl, fr = feats[0], feats[1]  # (H, W, C)
+    H, W, C = fl.shape
+    xs = jnp.arange(W)
+
+    def one(d):
+        # pair left pixel x with right pixel x-d (left-referenced)
+        fr_s = costs._shift_x(jnp.moveaxis(fr, -1, 0), -d)  # (C,H,W): fr[y, x-d]
+        pair = jnp.concatenate([fl, jnp.moveaxis(fr_s, 0, -1)], axis=-1)
+        s = towers.apply_head(params, pair, dtype=dtype)  # (H, W)
+        vl = jnp.where(xs - d >= 0, s, jnp.nan)
+        vr = jnp.where(xs + d < W, costs._shift_x(s, d), jnp.nan)
+        return vl, vr
+
+    vol_l, vol_r = jax.lax.map(one, jnp.arange(disp_max))
+    return vol_l, vol_r
+
+
+def _active_after(terminate: str, stage: str) -> bool:
+    """Whether the method is still active after `stage`, given
+    -sm_terminate. Stage order per main.lua:988-1075."""
+    order = ["cnn", "cbca1", "sgm", "cbca2", "occlusion", "mismatch",
+             "subpixel_enchancement", "median"]
+    if terminate not in order:
+        return True
+    return order.index(stage) < order.index(terminate)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "arch", "disp_max", "directions", "kitti", "L1", "cbca_i1", "cbca_i2",
+    "sgm_i", "sm_terminate", "sm_skip", "ws", "dtype_name", "return_vols"))
+def _predict_jit(params, x0, x1, *, arch, disp_max, directions, kitti,
+                 L1, tau1, cbca_i1, cbca_i2, pi1, pi2, tau_so, alpha1,
+                 sgm_q1, sgm_q2, sgm_i, blur_kernel, blur_t,
+                 sm_terminate, sm_skip, ws, dtype_name, return_vols):
+    dtype = jnp.dtype(dtype_name)
+    D = disp_max
+
+    # ---- cost volumes (main.lua:932-951, 958-987) ----------------------
+    if arch == "ad":
+        vols = {-1: costs.ad_volume(x0, x1, D, -1),
+                1: costs.ad_volume(x1, x0, D, 1)}
+    elif arch == "census":
+        vols = {-1: costs.census_volume(x0, x1, D, -1),
+                1: costs.census_volume(x1, x0, D, 1)}
+    elif arch == "fast":
+        feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
+                                   arch="fast", padding="SAME", dtype=dtype)
+        vol_l, vol_r = costs.stereo_join(feats[0], feats[1], D)
+        n = (ws - 1) // 2
+        vols = {-1: costs.fix_border(vol_l, -1, n),
+                1: costs.fix_border(vol_r, 1, n)}
+    elif arch == "slow":
+        vol_l, vol_r = slow_cost_volumes(params, x0, x1, D, dtype=dtype)
+        n = (ws - 1) // 2
+        vols = {-1: costs.fix_border(vol_l, -1, n),
+                1: costs.fix_border(vol_r, 1, n)}
+    else:
+        raise ValueError(arch)
+
+    sm_active = _active_after(sm_terminate, "cnn")
+    do_cbca = sm_active and sm_skip != "cbca"
+    if do_cbca:
+        x0c = cross.cross_arms(x0, L1, tau1)
+        x1c = cross.cross_arms(x1, L1, tau1)
+
+    disp = {}
+    final_vols = {}
+    for direction in directions:
+        vol = vols[direction]
+        if do_cbca:
+            for _ in range(cbca_i1):
+                vol = cross.cbca(x0c, x1c, vol, direction)
+        if _active_after(sm_terminate, "cbca1") and sm_skip != "sgm":
+            for _ in range(sgm_i):
+                out = sgm_mod.sgm(x0, x1, vol, pi1=pi1, pi2=pi2,
+                                  tau_so=tau_so, alpha1=alpha1,
+                                  sgm_q1=sgm_q1, sgm_q2=sgm_q2,
+                                  direction=direction)
+                vol = out / 4.0
+        if _active_after(sm_terminate, "sgm") and do_cbca:
+            for _ in range(cbca_i2):
+                vol = cross.cbca(x0c, x1c, vol, direction)
+        disp[direction] = costs.wta(vol)
+        final_vols[direction] = vol
+
+    d_final = disp[directions[-1]]  # the -1 (left-reference) map
+    vol_final = final_vols[directions[-1]]
+    sm_active = _active_after(sm_terminate, "cbca2")
+
+    if kitti and len(directions) == 2:
+        outlier = post.outlier_detection(disp[-1], disp[1], D)
+        if sm_active and sm_skip != "occlusion":
+            d_final = post.interpolate_occlusion(d_final, outlier)
+        if _active_after(sm_terminate, "occlusion") and sm_skip != "occlusion":
+            d_final = post.interpolate_mismatch(d_final, outlier)
+        sm_active = _active_after(sm_terminate, "mismatch")
+
+    if sm_active and sm_skip != "subpixel_enchancement":
+        d_final = post.subpixel_enhancement(d_final, vol_final, D)
+    sm_active = sm_active and _active_after(sm_terminate, "subpixel_enchancement")
+
+    if sm_active and sm_skip != "median":
+        d_final = post.median2d(d_final, 5)
+    sm_active = sm_active and _active_after(sm_terminate, "median")
+
+    if sm_active and sm_skip != "bilateral":
+        d_final = post.mean2d(d_final, blur_kernel, blur_t)
+
+    if return_vols:
+        return d_final, final_vols.get(-1), final_vols.get(1)
+    return d_final
+
+
+def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
+                   return_vols: bool = False):
+    """Run the full stereo method on one standardized pair.
+
+    x0/x1: (H, W) float32 (already per-image standardized). Returns the
+    left-reference disparity map (H, W) float32; with return_vols also
+    the final left and right cost volumes (for predict-mode .bin dumps
+    and debugging, main.lua:1042-1047).
+    """
+    if cfg.dataset == "mb":
+        directions = (1, -1) if cfg.a == "predict" else (-1,)
+    else:
+        directions = (1, -1)
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    return _predict_jit(
+        params, jnp.asarray(x0), jnp.asarray(x1),
+        arch=cfg.arch, disp_max=int(disp_max), directions=directions,
+        kitti=cfg.dataset in ("kitti", "kitti2015"),
+        L1=int(cfg.L1), tau1=float(cfg.tau1),
+        cbca_i1=int(cfg.cbca_i1), cbca_i2=int(cfg.cbca_i2),
+        pi1=float(cfg.pi1), pi2=float(cfg.pi2), tau_so=float(cfg.tau_so),
+        alpha1=float(cfg.alpha1), sgm_q1=float(cfg.sgm_q1),
+        sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
+        blur_kernel=blur_kernel, blur_t=float(cfg.blur_t),
+        sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
+        ws=cfg.ws, dtype_name=cfg.dtype, return_vols=return_vols)
