@@ -1,0 +1,209 @@
+"""Dataset assembly: loading preprocessed KITTI / Middlebury tensors.
+
+Mirrors the reference's dataset-loading section (main.lua:394-491):
+
+- **KITTI / KITTI2015**: fixed ``height=350, width=1242, disp_max=228``;
+  ``X0/X1`` are ``(N, 1, 350, 1242)`` standardized float32 images,
+  ``dispnoc`` the ground-truth disparity (0 = invalid), ``metadata``
+  rows ``(img_height, img_width, id)``, ``tr``/``te`` train/val image
+  index lists (1-based, like the reference), ``nnz_tr``/``nnz_te`` flat
+  ``(n, 4)`` float32 tables of ``(img, y, x, disp)`` ground-truth
+  points. ``-at 1`` concatenates KITTI 2012 + 2015 (main.lua:403-426).
+- **Middlebury**: per-image tensors ``x_<n>_<light>.bin`` of shape
+  ``(n_exposures, 2, C, H, W)``, per-image ``disp_max`` from
+  ``metadata[i][2]``, nested access ``X[img][light][exp][cam]``
+  (main.lua:447-491).
+
+All reads go through :func:`mccnn_tpu.data.bin_io.fromfile` and are
+memory-mapped.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from mccnn_tpu.config import Config
+from mccnn_tpu.data.bin_io import fromfile
+
+
+@dataclass
+class StereoDataset:
+    dataset: str
+    height: int
+    width: int
+    disp_max: int
+    err_at: int
+    n_te: int
+    n_input_plane: int = 1
+    # KITTI-style dense tensors
+    X0: Optional[np.ndarray] = None  # (N, 1, H, W)
+    X1: Optional[np.ndarray] = None
+    dispnoc: Optional[np.ndarray] = None  # (N, 1, H, W)
+    metadata: Optional[np.ndarray] = None  # (N, 3) int32
+    tr: Optional[np.ndarray] = None  # 1-based image ids
+    te: Optional[np.ndarray] = None
+    nnz_tr: Optional[np.ndarray] = None  # (n, 4): img, y, x, disp (1-based img/y/x)
+    nnz_te: Optional[np.ndarray] = None
+    # Middlebury nested: X[img][light] = (n_exp, 2, C, H, W); both 0-based lists
+    X: Optional[list] = None
+    mb_dispnoc: Optional[list] = None
+    fname_submit: Optional[list] = None
+
+    def nnz_for_action(self, action: str) -> np.ndarray:
+        if action == "train_all":
+            return np.concatenate([self.nnz_tr, self.nnz_te], axis=0)
+        return self.nnz_tr
+
+
+def _data_dir(cfg: Config, name: str) -> str:
+    base = cfg.data_dir if cfg.data_dir else "."
+    return os.path.join(base, name)
+
+
+def load_kitti(cfg: Config) -> StereoDataset:
+    """main.lua:394-445. With -at 1, merges 2012 and 2015 by offsetting
+    the second set's image indices (main.lua:403-426)."""
+    height, width, disp_max, n_te = 350, 1242, 228, (195 if cfg.dataset == "kitti" else 200)
+
+    def load_one(dirname):
+        d = _data_dir(cfg, dirname)
+        out = {}
+        for k in ("x0", "x1", "dispnoc", "metadata", "tr", "te", "nnz_tr", "nnz_te"):
+            out[k] = fromfile(os.path.join(d, f"{k}.bin"))
+        return out
+
+    main_dir = "data.kitti" if cfg.dataset == "kitti" else "data.kitti2015"
+    a = load_one(main_dir)
+    if cfg.at == 1:
+        other = "data.kitti2015" if cfg.dataset == "kitti" else "data.kitti"
+        b = load_one(other)
+        n_a = a["x0"].shape[0]
+
+        def off_nnz(nnz):
+            nnz = np.array(nnz, copy=True)
+            nnz[:, 0] += n_a
+            return nnz
+
+        a = dict(
+            x0=np.concatenate([a["x0"], b["x0"]]),
+            x1=np.concatenate([a["x1"], b["x1"]]),
+            dispnoc=np.concatenate([a["dispnoc"], b["dispnoc"]]),
+            metadata=np.concatenate([a["metadata"], b["metadata"]]),
+            tr=a["tr"],  # train indices stay in the primary set
+            te=a["te"],
+            nnz_tr=np.concatenate([a["nnz_tr"], off_nnz(b["nnz_tr"]),
+                                   off_nnz(b["nnz_te"])]),
+            nnz_te=a["nnz_te"],
+        )
+    return StereoDataset(
+        dataset=cfg.dataset, height=height, width=width, disp_max=disp_max,
+        err_at=3, n_te=n_te, X0=a["x0"], X1=a["x1"], dispnoc=a["dispnoc"],
+        metadata=np.asarray(a["metadata"], dtype=np.int64),
+        tr=np.asarray(a["tr"], dtype=np.int64),
+        te=np.asarray(a["te"], dtype=np.int64),
+        nnz_tr=np.asarray(a["nnz_tr"]), nnz_te=np.asarray(a["nnz_te"]))
+
+
+def load_mb(cfg: Config) -> StereoDataset:
+    """main.lua:447-491: data.mb.<rect>_<color> layout from
+    preprocess_mb.py:330-344."""
+    d = _data_dir(cfg, f"data.mb.{cfg.rect}_{cfg.color}")
+    te = np.asarray(fromfile(os.path.join(d, "te.bin")), dtype=np.int64)
+    metadata = np.asarray(fromfile(os.path.join(d, "meta.bin")), dtype=np.int64)
+    nnz_tr = np.asarray(fromfile(os.path.join(d, "nnz_tr.bin")))
+    nnz_te = np.asarray(fromfile(os.path.join(d, "nnz_te.bin")))
+    fname_submit = []
+    with open(os.path.join(d, "fname_submit.txt")) as f:
+        fname_submit = [line.strip() for line in f if line.strip()]
+    X: list = []
+    dispnoc: list = []
+    n = metadata.shape[0]
+    for i in range(1, n + 1):
+        lights = []
+        for light in range(1, 100):
+            fname = os.path.join(d, f"x_{i}_{light}.bin")
+            if not os.path.exists(fname):
+                break
+            lights.append(fromfile(fname))
+        X.append(lights)
+        dn = os.path.join(d, f"dispnoc{i}.bin")
+        dispnoc.append(fromfile(dn) if os.path.exists(dn) else None)
+    n_input = 3 if cfg.color == "rgb" else 1
+    return StereoDataset(
+        dataset="mb", height=1500, width=1000, disp_max=0, err_at=1,
+        n_te=len(fname_submit), n_input_plane=n_input, metadata=metadata,
+        te=te, nnz_tr=nnz_tr, nnz_te=nnz_te, X=X, mb_dispnoc=dispnoc,
+        fname_submit=fname_submit)
+
+
+def load_dataset(cfg: Config) -> StereoDataset:
+    if cfg.dataset in ("kitti", "kitti2015"):
+        return load_kitti(cfg)
+    return load_mb(cfg)
+
+
+def subset_nnz(nnz: np.ndarray, image_ids: np.ndarray) -> np.ndarray:
+    """Filter nnz rows to images in `image_ids` (adcensus.cu:1863-1898,
+    used for -subset, main.lua:622-647)."""
+    keep = np.isin(nnz[:, 0].astype(np.int64), np.asarray(image_ids, np.int64))
+    return nnz[keep]
+
+
+def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
+                         width: int = 128, disp_max: int = 16,
+                         seed: int = 42) -> None:
+    """Write a tiny synthetic dataset in the exact data.kitti layout.
+
+    Left image = random smooth texture; right image = left shifted by a
+    ground-truth disparity plane. Used by tests and smoke training —
+    the reference has no equivalent (it assumes the real datasets), but
+    the binary contract matches preprocess_kitti.lua:118-144.
+    """
+    from mccnn_tpu.data.bin_io import tofile
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    X0 = np.zeros((n_images, 1, height, width), np.float32)
+    X1 = np.zeros((n_images, 1, height, width), np.float32)
+    dispnoc = np.zeros((n_images, 1, height, width), np.float32)
+    metadata = np.zeros((n_images, 3), np.int32)
+    nnz_rows = []
+    for i in range(n_images):
+        base = rng.randn(height, width + disp_max).astype(np.float32)
+        # smooth the texture so matching is learnable
+        k = np.ones(5, np.float32) / 5
+        for axis in (0, 1):
+            base = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), axis, base)
+        base = (base - base.mean()) / (base.std() + 1e-6)
+        d = float(rng.randint(3, disp_max - 2))
+        left = base[:, disp_max:disp_max + width]
+        right = base[:, disp_max - int(d):disp_max - int(d) + width]
+        X0[i, 0] = left
+        X1[i, 0] = right
+        dispnoc[i, 0, :, :] = d
+        dispnoc[i, 0, :, : int(d)] = 0  # match out of right frame
+        metadata[i] = (height, width, i)
+        ys, xs = np.mgrid[8:height - 8, int(d) + 8:width - 8]
+        sel = rng.rand(*ys.shape) < 0.2
+        for y, x in zip(ys[sel].ravel(), xs[sel].ravel()):
+            # img 1-based, y/x 0-based (make_dataset2, adcensus.cu:1915-1922)
+            nnz_rows.append((i + 1, y, x, d))
+    nnz = np.asarray(nnz_rows, np.float32)
+    rng.shuffle(nnz)
+    n_tr = int(len(nnz) * 0.8)
+    tofile(os.path.join(out_dir, "x0.bin"), X0)
+    tofile(os.path.join(out_dir, "x1.bin"), X1)
+    tofile(os.path.join(out_dir, "dispnoc.bin"), dispnoc)
+    tofile(os.path.join(out_dir, "metadata.bin"), metadata)
+    tr = np.arange(1, n_images, dtype=np.int64)  # last image is validation
+    te = np.asarray([n_images], dtype=np.int64)
+    tofile(os.path.join(out_dir, "tr.bin"), tr)
+    tofile(os.path.join(out_dir, "te.bin"), te)
+    keep_tr = np.isin(nnz[:, 0].astype(np.int64), tr)
+    tofile(os.path.join(out_dir, "nnz_tr.bin"), nnz[keep_tr])
+    tofile(os.path.join(out_dir, "nnz_te.bin"), nnz[~keep_tr])

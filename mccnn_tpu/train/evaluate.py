@@ -1,0 +1,153 @@
+"""Evaluation / submission actions.
+
+Behavior contract (main.lua:1107-1293):
+
+- ``test_te``: loop the validation examples (KITTI: ``te`` ids; MB:
+  ``te`` images at light 1/cam 2 plus the extra lighting pairs (5,3)
+  and (5,4)), run ``stereo_predict``, compute the bad-``err_at`` error
+  over ground-truth pixels (mask = GT != 0), print ``runtime err`` per
+  image, and the mean error as the final stdout token (the hs.py
+  score contract, hs.py:209-211).
+- ``test_all``: train+val ids (KITTI only).
+- ``submit``: KITTI 16-bit PNGs into ``out/`` (2015: ``out/disp_0``)
+  padded back to full image height, MB PFM + runtime files, zipped to
+  ``out/submission.zip``.
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+import zipfile
+
+import numpy as np
+
+from mccnn_tpu.config import Config
+from mccnn_tpu.data.datasets import StereoDataset, load_dataset
+from mccnn_tpu.data.pfm import write_pfm
+from mccnn_tpu.data.png16 import write_png16
+from mccnn_tpu.pipeline import stereo_predict
+
+
+def _examples(cfg: Config, ds: StereoDataset):
+    if cfg.a == "submit":
+        if cfg.dataset in ("kitti", "kitti2015"):
+            n = ds.X0.shape[0]
+            return list(range(n - ds.n_te + 1, n + 1))
+        return [(i, 2) for i in range(len(ds.X) - 29, len(ds.X) + 1)]
+    if cfg.a == "test_te":
+        if cfg.dataset in ("kitti", "kitti2015"):
+            return [int(i) for i in ds.te]
+        ex = [(int(i), 2) for i in ds.te]
+        ex += [(5, 3), (5, 4)]
+        return ex
+    if cfg.a == "test_all":
+        assert cfg.dataset in ("kitti", "kitti2015"), \
+            "test_all not supported on Middlebury."
+        return [int(i) for i in np.concatenate([ds.tr, ds.te])]
+    raise ValueError(cfg.a)
+
+
+def _eval_error(pred: np.ndarray, actual: np.ndarray, err_at: float) -> float:
+    mask = actual != 0
+    bad = (np.abs(actual - pred) > err_at) & mask
+    return float(bad.sum()) / float(mask.sum())
+
+
+def action_eval(cfg: Config, tail: list[str], params=None,
+                ds: StereoDataset | None = None) -> None:
+    import jax
+
+    from mccnn_tpu.cli import load_params
+
+    if ds is None:
+        ds = load_dataset(cfg)
+    if params is None:
+        params = load_params(cfg)
+
+    examples = _examples(cfg, ds)
+    is_kitti = cfg.dataset in ("kitti", "kitti2015")
+    if cfg.a == "submit":
+        os.makedirs("out", exist_ok=True)
+        for f in os.listdir("out"):
+            p = os.path.join("out", f)
+            if os.path.isfile(p):
+                os.remove(p)
+        if cfg.dataset == "kitti2015":
+            os.makedirs("out/disp_0", exist_ok=True)
+
+    err_sum = 0.0
+    written = []
+    for ex in examples:
+        if is_kitti:
+            i = ex
+            img_height, img_width, img_id = (int(v) for v in ds.metadata[i - 1])
+            x0 = np.asarray(ds.X0[i - 1, 0, :, :img_width])
+            x1 = np.asarray(ds.X1[i - 1, 0, :, :img_width])
+            disp_max = ds.disp_max
+        else:
+            i, right = ex
+            img_id = f"{i}_{right}"
+            disp_max = int(ds.metadata[i - 1, 2])
+            # light-1 tensor is (n_views, C, H, W) = [im0, im1, im1E, im1L]
+            # (preprocess_mb.py:139-140); right=2 is im1, 3/4 the extra
+            # lighting/exposure pairs (main.lua:1186-1188).
+            x0 = np.asarray(ds.X[i - 1][0][0, 0])
+            x1 = np.asarray(ds.X[i - 1][0][right - 1, 0])
+
+        t0 = _time.perf_counter()
+        pred = stereo_predict(cfg, params, x0, x1, disp_max)
+        pred = np.asarray(jax.block_until_ready(pred))
+        runtime = _time.perf_counter() - t0
+
+        if cfg.a == "submit":
+            if is_kitti:
+                pred_img = np.zeros((img_height, img_width), np.float32)
+                pred_img[img_height - ds.height:] = pred[:ds.height]
+                path = "out" if cfg.dataset == "kitti" else "out/disp_0"
+                fname = os.path.join(path, f"{img_id:06d}_10.png")
+                write_png16(pred_img, fname)
+                written.append(fname)
+            else:
+                name = ds.fname_submit[i - (len(ds.X) - len(ds.fname_submit)) - 1]
+                base = os.path.join("out", name)
+                os.makedirs(base, exist_ok=True)
+                method = "MC-CNN-" + ("fst" if cfg.arch == "fast" else "acrt")
+                f_pfm = os.path.join(base, f"disp0{method}.pfm")
+                write_pfm(pred[::-1], f_pfm)  # vflip (main.lua:1218)
+                with open(os.path.join(base, f"time{method}.txt"), "w") as f:
+                    f.write(str(runtime))
+                written.extend([f_pfm, os.path.join(base, f"time{method}.txt")])
+        else:
+            assert not np.isnan(pred.sum()), "NaN in prediction"
+            if is_kitti:
+                actual = np.asarray(ds.dispnoc[i - 1, 0, :, :img_width])
+            else:
+                actual = np.asarray(ds.mb_dispnoc[i - 1]).reshape(pred.shape)
+            err = _eval_error(pred, actual, cfg.err_at)
+            err_sum += err
+            print(runtime, err)
+            if cfg.debug:
+                _debug_dump(cfg, img_id, pred, actual, disp_max)
+
+    if cfg.a == "submit":
+        zname = "out/submission.zip"
+        with zipfile.ZipFile(zname, "w", zipfile.ZIP_DEFLATED) as z:
+            for f in written:
+                z.write(f, os.path.relpath(f, "out"))
+        print(f"wrote {zname} ({len(written)} files)")
+    else:
+        print(err_sum / len(examples))
+
+
+def _debug_dump(cfg: Config, img_id, pred, actual, disp_max) -> None:
+    """Jet-colormap debug PNGs into tmp/ (main.lua:1240-1284)."""
+    from PIL import Image
+
+    from mccnn_tpu.utils.images import grey2jet
+
+    os.makedirs("tmp", exist_ok=True)
+    for tag, arr in (("pred", pred), ("gt", actual)):
+        img = grey2jet((np.asarray(arr) + 1) / disp_max)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            f"tmp/{cfg.dataset}_{cfg.arch}_{img_id}_{tag}.png")

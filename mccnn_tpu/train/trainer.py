@@ -1,0 +1,164 @@
+"""The training loop.
+
+Behavior contract (main.lua:753-890): SGD with momentum implemented
+inline (``v = mom*v - lr*g; w += v``, main.lua:871-874), 14 epochs with
+lr/10 at epoch 12, minibatches of ``bs/2`` ground-truth points → 4
+patches each (anchor, pos, anchor, neg), hinge loss (fast) / BCE
+(slow), loss-explosion guard (batches with err<0 or err>=100 excluded
+with a WARNING, main.lua:861-866), per-epoch
+``(epoch, mean_err, lr, elapsed)`` print, final checkpoint to
+``net/net_<cmd_str>``, then the action chains into test_te (train_tr)
+or submit (train_all) (main.lua:884-888).
+
+TPU-native design: the host only samples augmentation parameters and
+gathers source windows (vectorized numpy over a whole *chunk* of
+minibatches); the device runs ``lax.scan`` over the chunk — bicubic
+warp + forward + backward + SGD update per step — so dispatch overhead
+and host↔device transfers are amortized over dozens of steps.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+
+import numpy as np
+
+from mccnn_tpu.config import Config, cmd_str
+from mccnn_tpu.data.datasets import StereoDataset, load_dataset, subset_nnz
+from mccnn_tpu.models import checkpoint, towers
+from mccnn_tpu.train import losses
+from mccnn_tpu.train.augment import AugmentSampler, warp_patches
+
+# minibatches fused into one device dispatch
+CHUNK_STEPS = 32
+
+
+def loss_fn(params, patches, labels, *, arch: str, m: float, pow: int,
+            dtype):
+    """patches: (2*bs, ws, ws) — consecutive (L, R) siamese pairs.
+
+    fast: L2-normalized descriptors, cosine similarity of each pair,
+    hinge over interleaved (pos, neg) pairs (Margin2.lua).
+    slow: concat descriptors → FC head → sigmoid, BCE vs labels
+    (0 = match) (BCECriterion2.lua, main.lua:848-849).
+    """
+    import jax.numpy as jnp
+
+    feats = towers.apply_tower(params, patches[..., None], arch=arch,
+                               padding="VALID", dtype=dtype)
+    desc = feats.reshape(feats.shape[0], -1)  # (2bs, fm): center pixel only
+    if arch == "fast":
+        scores = jnp.sum(desc[0::2] * desc[1::2], axis=-1)  # (bs,)
+        return losses.hinge(scores, margin=m, pow=pow)
+    pair = jnp.concatenate([desc[0::2], desc[1::2]], axis=-1)  # (bs, 2fm)
+    p = towers.apply_head(params, pair, dtype=dtype)
+    return losses.bce(p, labels)
+
+
+def make_train_chunk(cfg: Config):
+    """Build the jitted scan-over-minibatches update function."""
+    import jax
+    import jax.numpy as jnp
+
+    arch, ws = cfg.arch, cfg.ws
+    m, pow_, mom = float(cfg.m), int(cfg.pow), float(cfg.mom)
+    dtype = jnp.dtype(cfg.dtype)
+
+    def step(carry, batch):
+        params, momentum, lr = carry
+        patches = warp_patches(batch["windows"], batch["minv"],
+                               batch["brightness"], batch["contrast"], ws=ws)
+        err, grads = jax.value_and_grad(loss_fn)(
+            params, patches, batch["labels"], arch=arch, m=m, pow=pow_,
+            dtype=dtype)
+        momentum = jax.tree.map(lambda v, g: mom * v - lr * g, momentum, grads)
+        params = jax.tree.map(lambda w, v: w + v, params, momentum)
+        return (params, momentum, lr), err
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, momentum, lr, batches):
+        (params, momentum, _), errs = jax.lax.scan(
+            step, (params, momentum, lr), batches)
+        return params, momentum, errs
+
+    return train_chunk
+
+
+def _stack_chunk(sampler: AugmentSampler, X0, X1, nnz_rows: np.ndarray,
+                 n_steps: int, bs_half: int) -> dict:
+    """Host side of a chunk: windows/matrices/photometrics for n_steps
+    minibatches, shaped (n_steps, per-step...)."""
+    b = sampler.build_batches(X0, X1, nnz_rows)
+    n4 = 4 * bs_half
+    return {
+        "windows": b["windows"].reshape(n_steps, n4, *b["windows"].shape[1:]),
+        "minv": b["minv"].reshape(n_steps, n4, 6),
+        "brightness": b["brightness"].reshape(n_steps, n4),
+        "contrast": b["contrast"].reshape(n_steps, n4),
+        "labels": b["labels"].reshape(n_steps, 2 * bs_half),
+    }
+
+
+def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
+          momentum=None, log=print):
+    """Run the reference schedule; returns (params, momentum)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(cfg.seed)
+    sampler = AugmentSampler(cfg, rng)
+    nnz = ds.nnz_for_action(cfg.a)
+    if cfg.subset < 1:
+        keep = rng.permutation(len(ds.tr))[: int(len(ds.tr) * cfg.subset)]
+        nnz = subset_nnz(nnz, ds.tr[keep])
+
+    if momentum is None:
+        momentum = jax.tree.map(jnp.zeros_like, params)
+    train_chunk = make_train_chunk(cfg)
+
+    bs_half = cfg.bs // 2
+    lr = float(cfg.lr)
+    X0 = np.asarray(ds.X0[:, 0])[:, None]  # materialize mmap once
+    X1 = np.asarray(ds.X1[:, 0])[:, None]
+    t0 = _time.time()
+    for epoch in range(1, epochs + 1):
+        if epoch == 12:
+            lr = lr / 10
+        perm = rng.permutation(len(nnz))
+        n_steps_total = (len(nnz) - bs_half) // bs_half
+        err_sum, err_cnt = 0.0, 0
+        pos = 0
+        while pos < n_steps_total:
+            k = min(CHUNK_STEPS, n_steps_total - pos)
+            rows = nnz[perm[pos * bs_half:(pos + k) * bs_half]]
+            chunk = _stack_chunk(sampler, X0, X1, rows, k, bs_half)
+            params, momentum, errs = train_chunk(
+                params, momentum, jnp.float32(lr), chunk)
+            errs = np.asarray(errs)
+            good = (errs >= 0) & (errs < 100)
+            for e in errs[~good]:
+                log(f"WARNING! err={e:f}")
+            err_sum += float(errs[good].sum())
+            err_cnt += int(good.sum())
+            pos += k
+        log(f"{epoch}\t{err_sum / max(err_cnt, 1)}\t{lr}\t{_time.time() - t0}")
+    return params, momentum
+
+
+def action_train(cfg: Config, tail: list[str]) -> None:
+    import jax.numpy as jnp
+    from mccnn_tpu.cli import init_params
+
+    ds = load_dataset(cfg)
+    params = init_params(cfg)
+    params, momentum = train(cfg, ds, params)
+
+    fname = f"net/net_{cmd_str(cfg, tail)}.npz"
+    checkpoint.save(fname, params, {"cfg": vars(cfg)})
+    cfg.net_fname = fname
+
+    # chain into evaluation (main.lua:884-888)
+    cfg.a = "test_te" if cfg.a == "train_tr" else "submit"
+    from mccnn_tpu.train.evaluate import action_eval
+    action_eval(cfg, tail, params=params, ds=ds)

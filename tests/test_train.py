@@ -1,0 +1,154 @@
+"""Training-path tests: augmentation warp, sampler layout, a short
+end-to-end training run on a synthetic dataset (loss must drop), and
+the multi-device data-parallel step (8-way virtual CPU mesh).
+
+Oracle pattern per SURVEY.md §4: naive per-pixel references on tiny
+tensors.
+"""
+
+import numpy as np
+import pytest
+
+from mccnn_tpu.config import make_config
+from mccnn_tpu.train import augment
+
+
+def naive_bicubic_warp(win, minv, ws, a=-0.75):
+    """Per-pixel reference for warp_patches (cv.cpp:19-45 semantics)."""
+    H, W = win.shape
+
+    def kern(x):
+        x = abs(x)
+        if x <= 1:
+            return ((a + 2) * x - (a + 3)) * x * x + 1
+        if x < 2:
+            return ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+        return 0.0
+
+    out = np.zeros((ws, ws), np.float32)
+    for y in range(ws):
+        for x in range(ws):
+            sx = minv[0] * x + minv[1] * y + minv[2]
+            sy = minv[3] * x + minv[4] * y + minv[5]
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            acc = 0.0
+            for dy in range(-1, 3):
+                for dx in range(-1, 3):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < H and 0 <= xx < W:
+                        acc += (win[yy, xx] * kern(sy - yy) * kern(sx - xx))
+            out[y, x] = acc
+    return out
+
+
+def test_warp_patches_identity():
+    rng = np.random.RandomState(0)
+    win = rng.randn(augment.WIN, augment.WIN).astype(np.float32)
+    ws = 9
+    # identity warp: dst (0..ws) maps to window offset 10
+    minv = np.asarray([1, 0, 10, 0, 1, 10], np.float32)
+    out = augment.warp_patches(win[None], minv[None],
+                               np.zeros(1, np.float32), np.ones(1, np.float32),
+                               ws=ws)
+    np.testing.assert_allclose(np.asarray(out)[0], win[10:19, 10:19],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_warp_patches_vs_naive():
+    rng = np.random.RandomState(1)
+    win = rng.randn(augment.WIN, augment.WIN).astype(np.float32)
+    ws = 9
+    m = augment.patch_matrix(ws, 16.0, 16.0, (np.float32(0.9), np.float32(0.95)),
+                             np.float32(0.1), (np.float32(0.3), np.float32(-0.2)),
+                             np.float32(0.05))
+    minv = augment.invert_2x3(m[None])[0]
+    out = augment.warp_patches(win[None], minv[None],
+                               np.zeros(1, np.float32), np.ones(1, np.float32),
+                               ws=ws)
+    ref = naive_bicubic_warp(win, minv, ws)
+    np.testing.assert_allclose(np.asarray(out)[0], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_patch_matrix_maps_center():
+    """The source center must land at the patch center under the forward
+    matrix (make_patch composition, main.lua:606-614)."""
+    ws = 11
+    m = augment.patch_matrix(ws, 100.0, 50.0, (np.float32(1.0), np.float32(1.0)),
+                             np.float32(0.0), (np.float32(0.0), np.float32(0.0)),
+                             np.float32(0.0))
+    x, y = 100.0, 50.0
+    dx = m[0] * x + m[1] * y + m[2]
+    dy = m[3] * x + m[4] * y + m[5]
+    assert abs(dx - (ws - 1) / 2) < 1e-5
+    assert abs(dy - (ws - 1) / 2) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def synth_ds(tmp_path_factory):
+    from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
+
+    d = tmp_path_factory.mktemp("synth")
+    make_synthetic_kitti(str(d / "data.kitti"), n_images=3, height=48,
+                         width=96, disp_max=12)
+    cfg = make_config("kitti", "fast", a="train_tr", data_dir=str(d))
+    ds = load_kitti(cfg)
+    ds.disp_max = 12
+    return cfg, ds
+
+
+def test_sampler_layout(synth_ds):
+    cfg, ds = synth_ds
+    sampler = augment.AugmentSampler(cfg, np.random.RandomState(0))
+    rows = ds.nnz_tr[:8]
+    b = sampler.build_batches(np.asarray(ds.X0), np.asarray(ds.X1), rows)
+    assert b["windows"].shape == (32, augment.WIN, augment.WIN)
+    assert b["minv"].shape == (32, 6)
+    # labels interleave (pos=0, neg=1) (main.lua:848-849)
+    np.testing.assert_array_equal(b["labels"], np.tile([0.0, 1.0], 8))
+
+
+def test_train_loss_drops(synth_ds):
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.train.trainer import train
+
+    cfg, ds = synth_ds
+    params = init_params(cfg)
+    errs = []
+    train(cfg, ds, params, epochs=3,
+          log=lambda s: errs.append(s) if "\t" in str(s) else None)
+    first = float(str(errs[0]).split("\t")[1])
+    last = float(str(errs[-1]).split("\t")[1])
+    assert last < first, (first, last)
+
+
+def test_dp_train_step_multidevice(synth_ds):
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.parallel.data_parallel import make_dp_train_step, shard_batch
+    from mccnn_tpu.parallel.mesh import make_mesh, replicated
+
+    cfg, ds = synth_ds
+    # always exercise the sharded path on the virtual 8-device CPU mesh,
+    # even when the default platform is a single TPU
+    cpu_devs = jax.devices("cpu")
+    n_dev = len(cpu_devs)
+    assert n_dev == 8, "conftest should force 8 virtual CPU devices"
+    mesh = make_mesh(n_dev, backend="cpu")
+
+    params = init_params(cfg)
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    params = jax.device_put(params, replicated(mesh))
+    momentum = jax.device_put(momentum, replicated(mesh))
+
+    sampler = augment.AugmentSampler(cfg, np.random.RandomState(0))
+    rows = ds.nnz_tr[: 2 * n_dev]
+    b = sampler.build_batches(np.asarray(ds.X0), np.asarray(ds.X1), rows)
+    b = shard_batch(b, mesh)
+    step = make_dp_train_step(cfg, mesh)
+    params2, momentum2, err = step(params, momentum, jnp.float32(cfg.lr), b)
+    assert np.isfinite(float(err))
+    # parameters actually moved
+    w0 = params2["tower"][0]["w"]
+    assert np.any(np.asarray(w0) != 0)
