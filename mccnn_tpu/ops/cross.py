@@ -54,20 +54,20 @@ def cross_arms(x0: jnp.ndarray, L1: int, tau1: float) -> jnp.ndarray:
     return jnp.stack([arm(1, -1), arm(1, +1), arm(0, -1), arm(0, +1)])
 
 
-def _excl_range_sum(csum: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                    axis: int) -> jnp.ndarray:
-    """Sum over the exclusive open interval (lo, hi) along `axis`, given
-    `csum` = cumulative sum with a leading zero (length n+1 on `axis`).
-    Sum over indices [lo+1, hi-1] = csum[hi] - csum[lo+1]."""
-    n = csum.shape[axis] - 1
-    hi_c = jnp.clip(hi, 0, n)
-    lo_c = jnp.clip(lo + 1, 0, n)
-    return (jnp.take_along_axis(csum, hi_c, axis=axis)
-            - jnp.take_along_axis(csum, lo_c, axis=axis))
+def _shift2(x: jnp.ndarray, k: int, axis: int, fill=0.0) -> jnp.ndarray:
+    """out[i] = x[i + k] along `axis`, `fill` outside (static k)."""
+    if k == 0:
+        return x
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(0, -k), max(0, k))
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(max(0, k), n + max(0, k))
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
 
 def cbca(x0c: jnp.ndarray, x1c: jnp.ndarray, vol: jnp.ndarray,
-         direction: int) -> jnp.ndarray:
+         direction: int, L1: int) -> jnp.ndarray:
     """One CBCA iteration (adcensus.cu:343-400).
 
     x0c/x1c: (4, H, W) arms of the left/right image; vol: (D, H, W).
@@ -76,45 +76,56 @@ def cbca(x0c: jnp.ndarray, x1c: jnp.ndarray, vol: jnp.ndarray,
     tighter of the two pixels' vertical arms, xx per row bounded by the
     tighter of (yy, x)'s and (yy, x+d*dir)'s horizontal arms (the
     latter shifted back by d*dir). Out-of-frame cells pass through.
+
+    TPU-native design: arm extents are bounded by K = max(2, L1), so
+    each pass is a static unroll of 2K-1 shifted masked adds — dense
+    VPU work, no data-dependent gathers (the reference walks pointers
+    per thread; a direct translation would gather, which the TPU
+    dislikes). The whole iteration runs under one ``lax.map`` over
+    disparity, keeping live buffers at (H, W).
     """
     D, H, W = vol.shape
-    dd = (jnp.arange(D) * direction)[:, None, None]  # (D,1,1)
-    xs = jnp.arange(W)[None, None, :]
-    match_x = xs + dd  # (D,1,W) broadcast target column in x1
-    valid = (match_x >= 0) & (match_x < W)  # (D,1,W)
-    match_clip = jnp.clip(match_x, 0, W - 1)
-    match_b = jnp.broadcast_to(match_clip, (D, H, W))
+    K = max(2, int(L1))
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
 
-    # --- horizontal pass: row sums with per-(d, yy, x) bounds ----------
-    # bounds (adcensus.cu:362-363): intersect pixel (yy, x)'s horizontal
-    # arms with pixel (yy, x + d*dir)'s arms shifted back by d*dir.
-    x1c0 = jnp.broadcast_to(x1c[0][None], (D, H, W))
-    x1c1 = jnp.broadcast_to(x1c[1][None], (D, H, W))
-    xx_s = jnp.maximum(x0c[0][None], jnp.take_along_axis(x1c0, match_b, 2) - dd)
-    xx_t = jnp.minimum(x0c[1][None], jnp.take_along_axis(x1c1, match_b, 2) - dd)
-    xx_s = xx_s.astype(jnp.int32)
-    xx_t = xx_t.astype(jnp.int32)
+    def one(args):
+        vol_d, d = args
+        delta = d * direction
+        # arms of the right pixel at the match column, shifted back to
+        # left coordinates (adcensus.cu:359-363)
+        a1 = _shift_x4(x1c, delta)
+        xx_s = jnp.maximum(x0c[0], a1[0] - delta)
+        xx_t = jnp.minimum(x0c[1], a1[1] - delta)
+        yy_s = jnp.maximum(x0c[2], a1[2])
+        yy_t = jnp.minimum(x0c[3], a1[3])
 
-    vol_z = jnp.where(jnp.isnan(vol), 0.0, vol)
-    csum_x = jnp.concatenate(
-        [jnp.zeros((D, H, 1), vol.dtype), jnp.cumsum(vol_z, axis=2)], axis=2)
-    hsum = _excl_range_sum(csum_x, xx_s, xx_t, axis=2)
-    hcnt = jnp.maximum(xx_t - xx_s - 1, 0).astype(vol.dtype)
+        vol_z = jnp.where(jnp.isnan(vol_d), 0.0, vol_d)
+        hsum = jnp.zeros_like(vol_z)
+        hcnt = jnp.zeros_like(vol_z)
+        for k in range(-(K - 1), K):
+            col = xs + k
+            m = (col > xx_s) & (col < xx_t)
+            hsum = hsum + jnp.where(m, _shift2(vol_z, k, 1), 0.0)
+            hcnt = hcnt + m.astype(vol_z.dtype)
+        ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+        vsum = jnp.zeros_like(vol_z)
+        vcnt = jnp.zeros_like(vol_z)
+        for k in range(-(K - 1), K):
+            row = ys + k
+            m = (row > yy_s) & (row < yy_t)
+            vsum = vsum + jnp.where(m, _shift2(hsum, k, 0), 0.0)
+            vcnt = vcnt + jnp.where(m, _shift2(hcnt, k, 0), 0.0)
 
-    # --- vertical pass: column sums with per-(d, y, x) bounds ----------
-    # bounds (adcensus.cu:359-360): vertical arms of (y, x) and of
-    # (y, x + d*dir) — no shift for vertical coordinates.
-    x1c2 = jnp.broadcast_to(x1c[2][None], (D, H, W))
-    x1c3 = jnp.broadcast_to(x1c[3][None], (D, H, W))
-    yy_s = jnp.maximum(x0c[2][None], jnp.take_along_axis(x1c2, match_b, 2)).astype(jnp.int32)
-    yy_t = jnp.minimum(x0c[3][None], jnp.take_along_axis(x1c3, match_b, 2)).astype(jnp.int32)
+        out = vsum / jnp.maximum(vcnt, 1.0)
+        valid = (xs + delta >= 0) & (xs + delta < W)
+        return jnp.where(valid, out, vol_d)
 
-    csum_y = jnp.concatenate(
-        [jnp.zeros((D, 1, W), vol.dtype), jnp.cumsum(hsum, axis=1)], axis=1)
-    ccnt_y = jnp.concatenate(
-        [jnp.zeros((D, 1, W), vol.dtype), jnp.cumsum(hcnt, axis=1)], axis=1)
-    vsum = _excl_range_sum(csum_y, yy_s, yy_t, axis=1)
-    vcnt = _excl_range_sum(ccnt_y, yy_s, yy_t, axis=1)
+    return jax.lax.map(one, (vol, jnp.arange(D)))
 
-    out = vsum / jnp.maximum(vcnt, 1.0)
-    return jnp.where(valid, out, vol)
+
+def _shift_x4(x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Shift a (4, H, W) stack along W by a traced delta via one padded
+    dynamic slice (out[..., x] = x[..., x + delta])."""
+    W = x.shape[-1]
+    padded = jnp.pad(x, ((0, 0), (0, 0), (W, W)))
+    return jax.lax.dynamic_slice_in_dim(padded, W + delta, W, axis=2)

@@ -185,33 +185,36 @@ def mean2d(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float) -> jnp.ndarray:
     over the kernel window, excluding neighbors whose value differs
     from the center by >= alpha2, boundary-clipped.
 
-    Scans over kernel rows; each row's column taps are one Toeplitz
-    gather + masked reduction."""
+    TPU-native design: the hot stage of the whole pipeline (49×49
+    window for the KITTI configs). A ``lax.scan`` over kernel rows
+    carries the accumulators; within a row the column taps are a
+    static unroll of shifted masked adds on a NaN-padded image — pure
+    fused VPU stencil work, no gathers and no (H, W, ksz)
+    materialization. Out-of-frame taps are excluded by the NaN
+    padding (NaN fails the |diff| < alpha2 comparison)."""
     ksz = kernel.shape[0]
     assert ksz % 2 == 1
     r = ksz // 2
     H, W = img.shape
-    ys = jnp.arange(H)[:, None]
-    pad = jnp.pad(img, ((0, 0), (r, r)), constant_values=jnp.nan)
-    idx = jnp.arange(W)[:, None] + jnp.arange(ksz)[None, :]  # (W, ksz) -> x+dx+r
     # kernel[i] indexed as i = (dx+r)*ksz + (dy+r) (adcensus.cu:1251-1252);
     # with a symmetric Gaussian the transpose is identical, use [dy, dx].
     kern = jnp.asarray(kernel)
+    pad = jnp.pad(img, ((r, r), (r, r)), constant_values=jnp.nan)
 
-    def row_step(carry, dy):
+    def row_step(carry, inp):
         acc, cnt = carry
-        shifted = jnp.roll(pad, -dy, axis=0)  # row y+dy
-        row_ok = (ys + dy >= 0) & (ys + dy < H)
-        windows = shifted[:, idx]  # (H, W, ksz) = img[y+dy, x+dx]
-        w = kern[dy + r][None, None, :]
-        ok = (row_ok[..., None] & ~jnp.isnan(windows)
-              & (jnp.abs(windows - img[..., None]) < alpha2))
-        wv = jnp.where(ok, w, 0.0)
-        acc = acc + jnp.sum(wv * jnp.where(ok, windows, 0.0), axis=-1)
-        cnt = cnt + jnp.sum(wv, axis=-1)
+        dy, wrow = inp
+        # rows y+dy for all y: pad[dy+r+y] — one dynamic sublane slice
+        rows = jax.lax.dynamic_slice(pad, (dy + r, 0), (H, W + 2 * r))
+        for dx in range(ksz):
+            win = jax.lax.slice(rows, (0, dx), (H, dx + W))
+            ok = jnp.abs(win - img) < alpha2  # False for NaN taps
+            w = jnp.where(ok, wrow[dx], 0.0)
+            acc = acc + w * jnp.where(ok, win, 0.0)
+            cnt = cnt + w
         return (acc, cnt), None
 
     (acc, cnt), _ = jax.lax.scan(
         row_step, (jnp.zeros_like(img), jnp.zeros_like(img)),
-        jnp.arange(-r, r + 1))
+        (jnp.arange(-r, r + 1), kern))
     return acc / cnt

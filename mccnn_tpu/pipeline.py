@@ -116,7 +116,7 @@ def _predict_jit(params, x0, x1, *, arch, disp_max, directions, kitti,
         vol = vols[direction]
         if do_cbca:
             for _ in range(cbca_i1):
-                vol = cross.cbca(x0c, x1c, vol, direction)
+                vol = cross.cbca(x0c, x1c, vol, direction, L1)
         if _active_after(sm_terminate, "cbca1") and sm_skip != "sgm":
             for _ in range(sgm_i):
                 out = sgm_mod.sgm(x0, x1, vol, pi1=pi1, pi2=pi2,
@@ -126,7 +126,7 @@ def _predict_jit(params, x0, x1, *, arch, disp_max, directions, kitti,
                 vol = out / 4.0
         if _active_after(sm_terminate, "sgm") and do_cbca:
             for _ in range(cbca_i2):
-                vol = cross.cbca(x0c, x1c, vol, direction)
+                vol = cross.cbca(x0c, x1c, vol, direction, L1)
         disp[direction] = costs.wta(vol)
         final_vols[direction] = vol
 

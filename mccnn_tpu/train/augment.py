@@ -245,12 +245,104 @@ class AugmentSampler:
                     labels=labels)
 
 
+    def build_batches_mb(self, X: list, nnz: np.ndarray) -> dict:
+        """Middlebury variant: per example, draw (light, exposure) for
+        the left patch and possibly perturbed (light', exposure') for
+        the right (main.lua:826-841): light uniform over 2..n_lights,
+        exp uniform over that light's pairs; with prob d_exp re-draw
+        exp', with prob d_light use light-1 (floored at 2). Light 1 is
+        reserved for evaluation (main.lua:829).
+
+        X: nested per-image lists, X[img][light] = (n_exp, 2, C, H, W).
+        """
+        cfg, rng = self.cfg, self.rng
+        n = len(nnz)
+        p = self.sample_params(n)
+        img = nnz[:, 0].astype(np.int64) - 1
+        cy = nnz[:, 1].astype(np.float32)
+        cx = nnz[:, 2].astype(np.float32)
+        d = nnz[:, 3].astype(np.float32)
+        cx_pos = cx - d + p["d_pos"]
+        cx_neg = cx - d + p["d_neg"]
+
+        ws = self.ws
+        half = WIN // 2
+        n4 = 4 * n
+        windows = np.zeros((n4, WIN, WIN), np.float32)
+        minv = np.zeros((n4, 6), np.float32)
+        bri = np.zeros((n4,), np.float32)
+        con = np.zeros((n4,), np.float32)
+
+        def gather_one(src2d, oy, ox):
+            H, W = src2d.shape
+            yy = np.arange(oy, oy + WIN)
+            xx = np.arange(ox, ox + WIN)
+            oky = (yy >= 0) & (yy < H)
+            okx = (xx >= 0) & (xx < W)
+            w = src2d[np.clip(yy, 0, H - 1)[:, None], np.clip(xx, 0, W - 1)[None, :]]
+            return w * (oky[:, None] & okx[None, :])
+
+        slots = [
+            (0, cx, (p["sx"], p["sy"]), p["phi"], (p["tx"], p["ty"]),
+             p["hshear"], p["brightness"], p["contrast"]),
+            (1, cx_pos, (p["sx_r"], p["sy"]), p["phi_r"], (p["tx"], p["ty_r"]),
+             p["hshear_r"], p["brightness_r"], p["contrast_r"]),
+            (0, cx, (p["sx"], p["sy"]), p["phi"], (p["tx"], p["ty"]),
+             p["hshear"], p["brightness"], p["contrast"]),
+            (1, cx_neg, (p["sx_r"], p["sy"]), p["phi_r"], (p["tx"], p["ty_r"]),
+             p["hshear_r"], p["brightness_r"], p["contrast_r"]),
+        ]
+        for i in range(n):
+            lights = X[img[i]]
+            n_lights = len(lights)
+            light = rng.randint(2, n_lights + 1) - 1  # 0-based index
+            n_exp = lights[light].shape[0]
+            exp = rng.randint(n_exp)
+            light_r, exp_r = light, exp
+            if rng.rand() < cfg.d_exp:
+                exp_r = rng.randint(n_exp)
+            if rng.rand() < cfg.d_light:
+                light_r = max(1, light - 1)  # floor at light 2 (index 1)
+            exp_r = min(exp_r, lights[light_r].shape[0] - 1)
+            srcs = (lights[light][exp, 0, 0], lights[light_r][exp_r, 1, 0])
+            for k, (which, ctr_x, scale, phi, trans, hshear, b, c) in enumerate(slots):
+                m = patch_matrix(ws, ctr_x[i], cy[i],
+                                 (scale[0][i], scale[1][i]), phi[i],
+                                 (trans[0][i], trans[1][i]), hshear[i])
+                mi = invert_2x3(m[None])[0]
+                ox = int(round(float(ctr_x[i]))) - half
+                oy = int(round(float(cy[i]))) - half
+                mi[2] -= ox
+                mi[5] -= oy
+                j = i * 4 + k
+                windows[j] = gather_one(srcs[which], oy, ox)
+                minv[j] = mi
+                bri[j] = b[i]
+                con[j] = c[i]
+        labels = np.zeros((2 * n,), np.float32)
+        labels[1::2] = 1.0
+        return dict(windows=windows, minv=minv, brightness=bri, contrast=con,
+                    labels=labels)
+
+
 def _gather_windows(X: np.ndarray, img: np.ndarray, oy: np.ndarray,
                     ox: np.ndarray) -> np.ndarray:
     """Gather (n, WIN, WIN) windows X[img, 0, oy:oy+WIN, ox:ox+WIN] with
-    zero fill outside the frame, vectorized."""
+    zero fill outside the frame. Uses the native multithreaded kernel
+    (native/mccnn_native.cpp) when built; numpy fancy-indexing
+    fallback otherwise."""
+    from mccnn_tpu.native import get as get_native
+
     n = len(img)
     H, W = X.shape[-2], X.shape[-1]
+    nat = get_native()
+    if nat is not None:
+        X3 = np.ascontiguousarray(X.reshape(-1, H, W))
+        out = np.empty((n, WIN, WIN), np.float32)
+        nat.gather_windows(X3, np.ascontiguousarray(img, np.int64),
+                           np.ascontiguousarray(oy, np.int64),
+                           np.ascontiguousarray(ox, np.int64), out)
+        return out
     yy = oy[:, None] + np.arange(WIN)[None, :]  # (n, WIN)
     xx = ox[:, None] + np.arange(WIN)[None, :]
     oky = (yy >= 0) & (yy < H)

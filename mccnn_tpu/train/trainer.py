@@ -85,11 +85,15 @@ def make_train_chunk(cfg: Config):
     return train_chunk
 
 
-def _stack_chunk(sampler: AugmentSampler, X0, X1, nnz_rows: np.ndarray,
-                 n_steps: int, bs_half: int) -> dict:
+def _stack_chunk(sampler: AugmentSampler, ds: StereoDataset,
+                 nnz_rows: np.ndarray, n_steps: int, bs_half: int,
+                 X0=None, X1=None) -> dict:
     """Host side of a chunk: windows/matrices/photometrics for n_steps
     minibatches, shaped (n_steps, per-step...)."""
-    b = sampler.build_batches(X0, X1, nnz_rows)
+    if ds.dataset == "mb":
+        b = sampler.build_batches_mb(ds.X, nnz_rows)
+    else:
+        b = sampler.build_batches(X0, X1, nnz_rows)
     n4 = 4 * bs_half
     return {
         "windows": b["windows"].reshape(n_steps, n4, *b["windows"].shape[1:]),
@@ -110,8 +114,18 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
     sampler = AugmentSampler(cfg, rng)
     nnz = ds.nnz_for_action(cfg.a)
     if cfg.subset < 1:
-        keep = rng.permutation(len(ds.tr))[: int(len(ds.tr) * cfg.subset)]
-        nnz = subset_nnz(nnz, ds.tr[keep])
+        if ds.dataset == "mb":
+            # per-generation sampling (main.lua:630-640): 2014 / 2006 /
+            # 2005 / 2003 / 2001 image-id ranges
+            ids = []
+            for lo, hi in ((11, 23), (24, 44), (45, 50), (51, 52), (53, 60)):
+                r = np.arange(lo, hi + 1)
+                keep = rng.permutation(len(r))[: int(len(r) * cfg.subset)]
+                ids.append(r[keep])
+            nnz = subset_nnz(nnz, np.concatenate(ids))
+        else:
+            keep = rng.permutation(len(ds.tr))[: int(len(ds.tr) * cfg.subset)]
+            nnz = subset_nnz(nnz, ds.tr[keep])
 
     if momentum is None:
         momentum = jax.tree.map(jnp.zeros_like, params)
@@ -119,8 +133,11 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
 
     bs_half = cfg.bs // 2
     lr = float(cfg.lr)
-    X0 = np.asarray(ds.X0[:, 0])[:, None]  # materialize mmap once
-    X1 = np.asarray(ds.X1[:, 0])[:, None]
+    if ds.dataset == "mb":
+        X0 = X1 = None
+    else:
+        X0 = np.asarray(ds.X0[:, 0])[:, None]  # materialize mmap once
+        X1 = np.asarray(ds.X1[:, 0])[:, None]
     t0 = _time.time()
     for epoch in range(1, epochs + 1):
         if epoch == 12:
@@ -132,7 +149,7 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
         while pos < n_steps_total:
             k = min(CHUNK_STEPS, n_steps_total - pos)
             rows = nnz[perm[pos * bs_half:(pos + k) * bs_half]]
-            chunk = _stack_chunk(sampler, X0, X1, rows, k, bs_half)
+            chunk = _stack_chunk(sampler, ds, rows, k, bs_half, X0, X1)
             params, momentum, errs = train_chunk(
                 params, momentum, jnp.float32(lr), chunk)
             errs = np.asarray(errs)

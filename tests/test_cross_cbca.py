@@ -32,7 +32,7 @@ def test_cbca(direction):
         for x in range(W):
             if not (0 <= x + d * direction < W):
                 vol[d, :, x] = np.nan
-    got = cross.cbca(x0c, x1c, vol, direction)
+    got = cross.cbca(x0c, x1c, vol, direction, L1)
     want = naive.cbca(x0c, x1c, vol, direction)
     assert_close(got, want, tol=1e-4)
 
@@ -48,6 +48,6 @@ def test_cbca_iterated():
     got = vol
     want = vol.copy()
     for _ in range(2):
-        got = np.asarray(cross.cbca(x0c, x1c, got, -1))
+        got = np.asarray(cross.cbca(x0c, x1c, got, -1, 5))
         want = naive.cbca(x0c, x1c, want, -1)
     assert_close(got, want, tol=1e-4)

@@ -152,3 +152,30 @@ def test_dp_train_step_multidevice(synth_ds):
     # parameters actually moved
     w0 = params2["tower"][0]["w"]
     assert np.any(np.asarray(w0) != 0)
+
+
+def test_native_gather_matches_numpy():
+    from mccnn_tpu.native import get as get_native
+
+    nat = get_native()
+    if nat is None:
+        import pytest
+        pytest.skip("native extension unavailable")
+    rng = np.random.RandomState(3)
+    X = rng.randn(3, 1, 40, 50).astype(np.float32)
+    n = 17
+    img = rng.randint(0, 3, n).astype(np.int64)
+    oy = rng.randint(-10, 40, n).astype(np.int64)
+    ox = rng.randint(-10, 50, n).astype(np.int64)
+    got = augment._gather_windows(X, img, oy, ox)
+    # numpy fallback path
+    H, W = 40, 50
+    yy = oy[:, None] + np.arange(augment.WIN)[None, :]
+    xx = ox[:, None] + np.arange(augment.WIN)[None, :]
+    oky = (yy >= 0) & (yy < H)
+    okx = (xx >= 0) & (xx < W)
+    want = X[img[:, None, None], 0,
+             np.clip(yy, 0, H - 1)[:, :, None],
+             np.clip(xx, 0, W - 1)[:, None, :]]
+    want = want * (oky[:, :, None] & okx[:, None, :])
+    np.testing.assert_array_equal(got, want.astype(np.float32))
