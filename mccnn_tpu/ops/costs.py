@@ -161,6 +161,22 @@ def stereo_join(feat_l: jnp.ndarray, feat_r: jnp.ndarray, disp_max: int
     return vol_l, vol_r
 
 
+def stereo_l2r(vol_l: jnp.ndarray) -> jnp.ndarray:
+    """Derive the right-referenced volume from the left one:
+    vol_R[d, y, x] = vol_L[d, y, x+d], INF out of frame
+    (adcensus.cu:1500-1528 — registered upstream but unused, since
+    StereoJoin emits both volumes; provided for API parity).
+    """
+    D, H, W = vol_l.shape
+    xs = jnp.arange(W)
+
+    def one(d):
+        v = _shift_x(vol_l[d], d, fill=jnp.inf)
+        return jnp.where(xs + d < W, v, jnp.inf)
+
+    return jax.lax.map(one, jnp.arange(D))
+
+
 def fix_border(vol: jnp.ndarray, direction: int, n: int) -> jnp.ndarray:
     """Replicate the first valid column over the CNN's half-window border
     (main.lua:922-927): direction=-1 fixes the last n columns from

@@ -72,38 +72,40 @@ def _active_after(terminate: str, stage: str) -> bool:
     return order.index(stage) < order.index(terminate)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "arch", "disp_max", "directions", "kitti", "L1", "cbca_i1", "cbca_i2",
-    "sgm_i", "sm_terminate", "sm_skip", "ws", "dtype_name", "return_vols"))
-def _predict_jit(params, x0, x1, *, arch, disp_max, directions, kitti,
-                 L1, tau1, cbca_i1, cbca_i2, pi1, pi2, tau_so, alpha1,
-                 sgm_q1, sgm_q2, sgm_i, blur_kernel, blur_t,
-                 sm_terminate, sm_skip, ws, dtype_name, return_vols):
+@functools.partial(jax.jit, static_argnames=("arch", "disp_max", "ws",
+                                             "dtype_name"))
+def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name):
+    """Cost volumes for both reference directions
+    (main.lua:932-951, 958-987). Returns {-1: vol, +1: vol}."""
     dtype = jnp.dtype(dtype_name)
     D = disp_max
-
-    # ---- cost volumes (main.lua:932-951, 958-987) ----------------------
     if arch == "ad":
-        vols = {-1: costs.ad_volume(x0, x1, D, -1),
+        return {-1: costs.ad_volume(x0, x1, D, -1),
                 1: costs.ad_volume(x1, x0, D, 1)}
-    elif arch == "census":
-        vols = {-1: costs.census_volume(x0, x1, D, -1),
+    if arch == "census":
+        return {-1: costs.census_volume(x0, x1, D, -1),
                 1: costs.census_volume(x1, x0, D, 1)}
-    elif arch == "fast":
+    if arch == "fast":
         feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                    arch="fast", padding="SAME", dtype=dtype)
         vol_l, vol_r = costs.stereo_join(feats[0], feats[1], D)
-        n = (ws - 1) // 2
-        vols = {-1: costs.fix_border(vol_l, -1, n),
-                1: costs.fix_border(vol_r, 1, n)}
     elif arch == "slow":
         vol_l, vol_r = slow_cost_volumes(params, x0, x1, D, dtype=dtype)
-        n = (ws - 1) // 2
-        vols = {-1: costs.fix_border(vol_l, -1, n),
-                1: costs.fix_border(vol_r, 1, n)}
     else:
         raise ValueError(arch)
+    n = (ws - 1) // 2
+    return {-1: costs.fix_border(vol_l, -1, n),
+            1: costs.fix_border(vol_r, 1, n)}
 
+
+@functools.partial(jax.jit, static_argnames=(
+    "disp_max", "directions", "kitti", "L1", "cbca_i1", "cbca_i2",
+    "sgm_i", "sm_terminate", "sm_skip", "return_vols"))
+def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
+                L1, tau1, cbca_i1, cbca_i2, pi1, pi2, tau_so, alpha1,
+                sgm_q1, sgm_q2, sgm_i, blur_kernel, blur_t,
+                sm_terminate, sm_skip, return_vols):
+    D = disp_max
     sm_active = _active_after(sm_terminate, "cnn")
     do_cbca = sm_active and sm_skip != "cbca"
     if do_cbca:
@@ -158,8 +160,35 @@ def _predict_jit(params, x0, x1, *, arch, disp_max, directions, kitti,
     return d_final
 
 
+def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
+                    pair_id=None):
+    """Cost volumes with the reference's second cache tier
+    (main.lua:959-982): with ``-use_cache`` volumes are loaded from
+    ``cache/<id>.npz`` when present; ``-make_cache`` writes them after
+    computing. The cache lets stereo-method hyperparameter search skip
+    the expensive slow-arch CNN pass (hs.py:205-206)."""
+    import os
+
+    import numpy as np
+
+    cache_f = None
+    if pair_id is not None and (cfg.use_cache or cfg.make_cache):
+        cache_f = os.path.join("cache", f"{pair_id}.npz")
+    if cache_f and cfg.use_cache and os.path.exists(cache_f):
+        z = np.load(cache_f)
+        return {-1: jnp.asarray(z["vol_m1"]), 1: jnp.asarray(z["vol_p1"])}
+    vols = _volumes_jit(params, jnp.asarray(x0), jnp.asarray(x1),
+                        arch=cfg.arch, disp_max=int(disp_max), ws=cfg.ws,
+                        dtype_name=cfg.dtype)
+    if cache_f and cfg.make_cache:
+        os.makedirs("cache", exist_ok=True)
+        np.savez(cache_f, vol_m1=np.asarray(vols[-1]),
+                 vol_p1=np.asarray(vols[1]))
+    return vols
+
+
 def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
-                   return_vols: bool = False):
+                   return_vols: bool = False, pair_id=None):
     """Run the full stereo method on one standardized pair.
 
     x0/x1: (H, W) float32 (already per-image standardized). Returns the
@@ -172,9 +201,10 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
     else:
         directions = (1, -1)
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
-    return _predict_jit(
-        params, jnp.asarray(x0), jnp.asarray(x1),
-        arch=cfg.arch, disp_max=int(disp_max), directions=directions,
+    vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id)
+    return _method_jit(
+        vols, jnp.asarray(x0), jnp.asarray(x1),
+        disp_max=int(disp_max), directions=directions,
         kitti=cfg.dataset in ("kitti", "kitti2015"),
         L1=int(cfg.L1), tau1=float(cfg.tau1),
         cbca_i1=int(cfg.cbca_i1), cbca_i2=int(cfg.cbca_i2),
@@ -183,4 +213,4 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
         sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
         blur_kernel=blur_kernel, blur_t=float(cfg.blur_t),
         sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
-        ws=cfg.ws, dtype_name=cfg.dtype, return_vols=return_vols)
+        return_vols=return_vols)

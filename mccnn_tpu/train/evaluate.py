@@ -96,7 +96,7 @@ def action_eval(cfg: Config, tail: list[str], params=None,
             x1 = np.asarray(ds.X[i - 1][0][right - 1, 0])
 
         t0 = _time.perf_counter()
-        pred = stereo_predict(cfg, params, x0, x1, disp_max)
+        pred = stereo_predict(cfg, params, x0, x1, disp_max, pair_id=img_id)
         pred = np.asarray(jax.block_until_ready(pred))
         runtime = _time.perf_counter() - t0
 

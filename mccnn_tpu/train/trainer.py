@@ -105,13 +105,20 @@ def _stack_chunk(sampler: AugmentSampler, ds: StereoDataset,
 
 
 def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
-          momentum=None, log=print):
-    """Run the reference schedule; returns (params, momentum)."""
+          momentum=None, log=print, save_cb=None, start_epoch: int = 1):
+    """Run the reference schedule; returns (params, momentum).
+
+    ``save_cb(epoch, params, momentum)`` is invoked after each epoch
+    when per-epoch checkpointing is enabled (reference: -debug only,
+    main.lua:877-879; here also -checkpoint_every for true mid-train
+    resume, which the reference lacks — SURVEY.md §5).
+    ``start_epoch`` > 1 resumes the schedule mid-way (lr drop at epoch
+    12 still applies).
+    """
     import jax
     import jax.numpy as jnp
 
     rng = np.random.RandomState(cfg.seed)
-    sampler = AugmentSampler(cfg, rng)
     nnz = ds.nnz_for_action(cfg.a)
     if cfg.subset < 1:
         if ds.dataset == "mb":
@@ -142,24 +149,51 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
     for epoch in range(1, epochs + 1):
         if epoch == 12:
             lr = lr / 10
-        perm = rng.permutation(len(nnz))
+        if epoch < start_epoch:
+            continue
+        # per-epoch seeding: the shuffle and every augmentation draw
+        # derive from (seed, epoch), so a resumed run replays the exact
+        # stream of the uninterrupted schedule
+        rng_e = np.random.RandomState(cfg.seed * 1000003 + epoch)
+        sampler = AugmentSampler(cfg, rng_e)
+        perm = rng_e.permutation(len(nnz))
         n_steps_total = (len(nnz) - bs_half) // bs_half
         err_sum, err_cnt = 0.0, 0
-        pos = 0
-        while pos < n_steps_total:
-            k = min(CHUNK_STEPS, n_steps_total - pos)
-            rows = nnz[perm[pos * bs_half:(pos + k) * bs_half]]
-            chunk = _stack_chunk(sampler, ds, rows, k, bs_half, X0, X1)
-            params, momentum, errs = train_chunk(
-                params, momentum, jnp.float32(lr), chunk)
-            errs = np.asarray(errs)
-            good = (errs >= 0) & (errs < 100)
-            for e in errs[~good]:
-                log(f"WARNING! err={e:f}")
-            err_sum += float(errs[good].sum())
-            err_cnt += int(good.sum())
-            pos += k
+
+        # host chunks are built one step ahead of the device (the
+        # reference interleaves CPU warps with GPU steps serially,
+        # main.lua:843-869 — a known bottleneck, SURVEY.md §7.3)
+        def chunks():
+            pos = 0
+            while pos < n_steps_total:
+                k = min(CHUNK_STEPS, n_steps_total - pos)
+                rows = nnz[perm[pos * bs_half:(pos + k) * bs_half]]
+                yield _stack_chunk(sampler, ds, rows, k, bs_half, X0, X1)
+                pos += k
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            it = chunks()
+            fut = pool.submit(lambda: next(it, None))
+            while True:
+                chunk = fut.result()
+                if chunk is None:
+                    break
+                fut = pool.submit(lambda: next(it, None))
+                params, momentum, errs = train_chunk(
+                    params, momentum, jnp.float32(lr), chunk)
+                errs = np.asarray(errs)
+                good = (errs >= 0) & (errs < 100)
+                for e in errs[~good]:
+                    log(f"WARNING! err={e:f}")
+                err_sum += float(errs[good].sum())
+                err_cnt += int(good.sum())
         log(f"{epoch}\t{err_sum / max(err_cnt, 1)}\t{lr}\t{_time.time() - t0}")
+        if save_cb is not None and (
+                cfg.debug or (cfg.checkpoint_every and
+                              epoch % cfg.checkpoint_every == 0)):
+            save_cb(epoch, params, momentum)
     return params, momentum
 
 
@@ -169,9 +203,28 @@ def action_train(cfg: Config, tail: list[str]) -> None:
 
     ds = load_dataset(cfg)
     params = init_params(cfg)
-    params, momentum = train(cfg, ds, params)
+    momentum = None
+    start_epoch = 1
+    if cfg.resume:
+        import jax
+        momentum = jax.tree.map(jnp.zeros_like, params)
+        params, opt, extras = checkpoint.load(cfg.resume, params,
+                                              {"momentum": momentum})
+        momentum = extras["momentum"]
+        start_epoch = int(opt.get("epoch", 0)) + 1
+        print(f"resuming from {cfg.resume} at epoch {start_epoch}")
 
-    fname = f"net/net_{cmd_str(cfg, tail)}.npz"
+    name = cmd_str(cfg, tail)
+
+    def save_cb(epoch, p, m):
+        checkpoint.save(f"net/net_{name}_{epoch}.npz", p,
+                        {"cfg": vars(cfg), "epoch": epoch},
+                        extra={"momentum": m})
+
+    params, momentum = train(cfg, ds, params, momentum=momentum,
+                             save_cb=save_cb, start_epoch=start_epoch)
+
+    fname = f"net/net_{name}.npz"
     checkpoint.save(fname, params, {"cfg": vars(cfg)})
     cfg.net_fname = fname
 

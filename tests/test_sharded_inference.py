@@ -1,0 +1,55 @@
+"""Sharded inference must equal single-device inference.
+
+Runs the full census pipeline row-sharded and batch-sharded over the
+8-device virtual CPU mesh and compares with the unsharded pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mccnn_tpu.config import make_config
+from mccnn_tpu.parallel.inference import make_batch_predict, make_sharded_predict
+from mccnn_tpu.parallel.mesh import make_mesh
+from mccnn_tpu.pipeline import stereo_predict
+
+H, W, D = 32, 48, 8
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    devs = jax.devices("cpu")
+    assert len(devs) == 8
+    return make_mesh(8, backend="cpu")
+
+
+def _inputs():
+    rng = np.random.RandomState(5)
+    return (rng.randn(H, W).astype(np.float32),
+            rng.randn(H, W).astype(np.float32))
+
+
+def test_row_sharded_matches_single(cpu_mesh):
+    x0, x1 = _inputs()
+    cfg = make_config("kitti", "census", a="predict")
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(stereo_predict(cfg, None, x0, x1, D))
+    run = make_sharded_predict(cfg, cpu_mesh, D)
+    got = np.asarray(run(None, x0, x1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_sharded_matches_single(cpu_mesh):
+    x0, x1 = _inputs()
+    cfg = make_config("kitti", "census", a="predict")
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(stereo_predict(cfg, None, x0, x1, D))
+    B = 8
+    x0b = np.broadcast_to(x0, (B, H, W)).copy()
+    x1b = np.broadcast_to(x1, (B, H, W)).copy()
+    run = make_batch_predict(cfg, cpu_mesh, D)
+    got = np.asarray(run(None, x0b, x1b))
+    assert got.shape == (B, H, W)
+    for b in range(B):
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)

@@ -179,3 +179,61 @@ def test_native_gather_matches_numpy():
              np.clip(xx, 0, W - 1)[:, None, :]]
     want = want * (oky[:, :, None] & okx[:, None, :])
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_checkpoint_resume_roundtrip(synth_ds, tmp_path, monkeypatch):
+    """Mid-training save + resume reproduces the uninterrupted run
+    (capability absent upstream — SURVEY.md §5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.models import checkpoint
+    from mccnn_tpu.train.trainer import train
+
+    monkeypatch.chdir(tmp_path)
+    cfg, ds = synth_ds
+
+    # uninterrupted 2-epoch run
+    params_full, mom_full = train(cfg, ds, init_params(cfg), epochs=2,
+                                  log=lambda s: None)
+
+    # 1 epoch, checkpoint, resume into epoch 2
+    saved = {}
+
+    def save_cb(epoch, p, m):
+        saved["f"] = checkpoint.save(f"ck_{epoch}.npz", p,
+                                     {"epoch": epoch}, extra={"momentum": m})
+
+    cfg.checkpoint_every = 1
+    p1, m1 = train(cfg, ds, init_params(cfg), epochs=1, save_cb=save_cb,
+                   log=lambda s: None)
+    cfg.checkpoint_every = 0
+    tmpl = init_params(cfg)
+    mom_tmpl = jax.tree.map(jnp.zeros_like, tmpl)
+    p_loaded, opt, extras = checkpoint.load(saved["f"], tmpl,
+                                            {"momentum": mom_tmpl})
+    p2, m2 = train(cfg, ds, p_loaded, momentum=extras["momentum"], epochs=2,
+                   start_epoch=int(opt["epoch"]) + 1, log=lambda s: None)
+
+    for a, b in zip(jax.tree.leaves(params_full), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_slow_arch(synth_ds):
+    """The slow/accurate arch trains end-to-end (BCE head path)."""
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.data.datasets import load_kitti
+    from mccnn_tpu.train.trainer import train
+
+    cfg, ds = synth_ds
+    cfg_slow = make_config("kitti", "slow", a="train_tr",
+                           data_dir=cfg.data_dir, bs=32)
+    params = init_params(cfg_slow)
+    errs = []
+    train(cfg_slow, ds, params, epochs=2,
+          log=lambda s: errs.append(s) if "\t" in str(s) else None)
+    vals = [float(str(e).split("\t")[1]) for e in errs]
+    assert all(np.isfinite(v) for v in vals)
+    assert vals[-1] < vals[0] * 1.5  # no blow-up; usually decreasing
