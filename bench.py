@@ -31,13 +31,17 @@ def main():
     x1 = rng.randn(H, W).astype(np.float32)
     params = init_params(cfg)
 
-    jax.block_until_ready(stereo_predict(cfg, params, x0, x1, disp_max))  # compile
-    # steady-state throughput: N dispatches in flight (the per-call
-    # host->device round trip otherwise dominates at ~3 ms)
-    N = 30
+    x0 = jax.device_put(x0)
+    x1 = jax.device_put(x1)
+    # warm up (compile); the scalar read forces real completion —
+    # block_until_ready alone does not synchronize through the axon
+    # tunnel, so every measured iteration ends in a device->host read
+    float(stereo_predict(cfg, params, x0, x1, disp_max)[0, 0])
+    N = 10
     t0 = time.perf_counter()
-    outs = [stereo_predict(cfg, params, x0, x1, disp_max) for _ in range(N)]
-    jax.block_until_ready(outs)
+    for _ in range(N):
+        out = stereo_predict(cfg, params, x0, x1, disp_max)
+        float(out[0, 0])
     per_pair = (time.perf_counter() - t0) / N
 
     baseline_pairs_per_s = 1.0 / 0.73

@@ -195,7 +195,6 @@ def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
             nnz_rows.append((i + 1, y, x, d))
     nnz = np.asarray(nnz_rows, np.float32)
     rng.shuffle(nnz)
-    n_tr = int(len(nnz) * 0.8)
     tofile(os.path.join(out_dir, "x0.bin"), X0)
     tofile(os.path.join(out_dir, "x1.bin"), X1)
     tofile(os.path.join(out_dir, "dispnoc.bin"), dispnoc)
@@ -207,3 +206,63 @@ def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
     keep_tr = np.isin(nnz[:, 0].astype(np.int64), tr)
     tofile(os.path.join(out_dir, "nnz_tr.bin"), nnz[keep_tr])
     tofile(os.path.join(out_dir, "nnz_te.bin"), nnz[~keep_tr])
+
+
+def make_synthetic_mb(out_dir: str, n_images: int = 3, height: int = 48,
+                      width: int = 96, disp_max: int = 10, n_lights: int = 3,
+                      n_exp: int = 2, seed: int = 42) -> None:
+    """Write a tiny synthetic dataset in the exact data.mb.<rect>_<color>
+    layout (preprocess_mb.py:330-344): per-image ``x_<n>_<light>.bin``
+    with light 1 = the official 4-view eval tensor (im0, im1, im1E,
+    im1L) and lights 2.. = ``(n_exp, 2, C, H, W)`` training stacks,
+    ``dispnoc<n>.bin``, ``meta.bin``, nnz tables, ``te.bin``,
+    ``fname_submit.txt``. Image 1 is the validation image (te).
+    """
+    from mccnn_tpu.data.bin_io import tofile
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    meta, nnz_tr, nnz_te = [], [], []
+    fname_submit = []
+    for i in range(1, n_images + 1):
+        base = rng.randn(height, width + disp_max).astype(np.float32)
+        k = np.ones(5, np.float32) / 5
+        for axis in (0, 1):
+            base = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), axis, base)
+        base = (base - base.mean()) / (base.std() + 1e-6)
+        d = float(rng.randint(3, disp_max - 2))
+        left = base[:, disp_max:disp_max + width]
+        right = base[:, disp_max - int(d):disp_max - int(d) + width]
+        # light 1: 4 views (im0, im1, im1E, im1L) — brightness variants
+        views = np.stack([left, right, right * 1.1, right * 0.9])[:, None]
+        tofile(os.path.join(out_dir, f"x_{i}_1.bin"),
+               views.astype(np.float32))
+        for light in range(2, n_lights + 1):
+            pairs = np.stack(
+                [np.stack([left + rng.randn() * 0.01,
+                           right + rng.randn() * 0.01])[:, None]
+                 for _ in range(n_exp)])
+            tofile(os.path.join(out_dir, f"x_{i}_{light}.bin"),
+                   pairs.astype(np.float32))
+        disp = np.full((height, width), d, np.float32)
+        disp[:, : int(d)] = 0
+        tofile(os.path.join(out_dir, f"dispnoc{i}.bin"), disp)
+        meta.append((height, width, disp_max))
+        ys, xs = np.mgrid[8:height - 8, int(d) + 8:width - 8]
+        sel = rng.rand(*ys.shape) < 0.2
+        rows = np.column_stack([
+            np.full(sel.sum(), i, np.float32),
+            ys[sel].astype(np.float32), xs[sel].astype(np.float32),
+            np.full(sel.sum(), d, np.float32)])
+        (nnz_te if i == 1 else nnz_tr).append(rows)
+        fname_submit.append(f"trainingH/synth{i}")
+    tofile(os.path.join(out_dir, "meta.bin"),
+           np.asarray(meta, np.int32))
+    tofile(os.path.join(out_dir, "nnz_tr.bin"),
+           np.concatenate(nnz_tr).astype(np.float32))
+    tofile(os.path.join(out_dir, "nnz_te.bin"),
+           np.concatenate(nnz_te).astype(np.float32))
+    tofile(os.path.join(out_dir, "te.bin"), np.asarray([1], np.int64))
+    with open(os.path.join(out_dir, "fname_submit.txt"), "w") as f:
+        f.write("\n".join(fname_submit))

@@ -44,7 +44,10 @@ def _method_kwargs(cfg: Config, disp_max: int, directions):
         sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
         blur_t=float(cfg.blur_t),
         sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
-        return_vols=False)
+        return_vols=False,
+        # the Pallas sweep is a single-device kernel; under GSPMD let
+        # XLA's scan formulation partition freely
+        sgm_pallas=False)
 
 
 def make_sharded_predict(cfg: Config, mesh: Mesh, disp_max: int,

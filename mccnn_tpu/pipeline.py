@@ -100,11 +100,14 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name):
 
 @functools.partial(jax.jit, static_argnames=(
     "disp_max", "directions", "kitti", "L1", "cbca_i1", "cbca_i2",
-    "sgm_i", "sm_terminate", "sm_skip", "return_vols"))
+    "sgm_i", "sm_terminate", "sm_skip", "return_vols", "sgm_pallas",
+    # compile-time constants for the Pallas SGM sweep (config values,
+    # one compile per stereo-method configuration anyway)
+    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))
 def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
                 L1, tau1, cbca_i1, cbca_i2, pi1, pi2, tau_so, alpha1,
                 sgm_q1, sgm_q2, sgm_i, blur_kernel, blur_t,
-                sm_terminate, sm_skip, return_vols):
+                sm_terminate, sm_skip, return_vols, sgm_pallas=None):
     D = disp_max
     sm_active = _active_after(sm_terminate, "cnn")
     do_cbca = sm_active and sm_skip != "cbca"
@@ -124,7 +127,8 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
                 out = sgm_mod.sgm(x0, x1, vol, pi1=pi1, pi2=pi2,
                                   tau_so=tau_so, alpha1=alpha1,
                                   sgm_q1=sgm_q1, sgm_q2=sgm_q2,
-                                  direction=direction)
+                                  direction=direction,
+                                  use_pallas=sgm_pallas)
                 vol = out / 4.0
         if _active_after(sm_terminate, "sgm") and do_cbca:
             for _ in range(cbca_i2):

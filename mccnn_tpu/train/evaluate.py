@@ -34,12 +34,17 @@ def _examples(cfg: Config, ds: StereoDataset):
         if cfg.dataset in ("kitti", "kitti2015"):
             n = ds.X0.shape[0]
             return list(range(n - ds.n_te + 1, n + 1))
-        return [(i, 2) for i in range(len(ds.X) - 29, len(ds.X) + 1)]
+        # the last 30 images are the MiddEval3 submission set
+        # (main.lua:1115-1119)
+        return [(i, 2) for i in range(max(1, len(ds.X) - 29), len(ds.X) + 1)]
     if cfg.a == "test_te":
         if cfg.dataset in ("kitti", "kitti2015"):
             return [int(i) for i in ds.te]
         ex = [(int(i), 2) for i in ds.te]
-        ex += [(5, 3), (5, 4)]
+        # extra lighting/exposure pairs of image 5 (main.lua:1129-1131);
+        # guarded for reduced synthetic datasets
+        if len(ds.X) >= 5 and ds.X[4] and ds.X[4][0].shape[0] >= 4:
+            ex += [(5, 3), (5, 4)]
         return ex
     if cfg.a == "test_all":
         assert cfg.dataset in ("kitti", "kitti2015"), \
