@@ -75,56 +75,102 @@ _RAY_DIRS = np.array([
     (1, 1), (0.5, 1)], dtype=np.float32)
 
 
+def _half_up(v: float) -> int:
+    """floor(v + 0.5): what C round() does to the walk's absolute
+    coordinates while they are non-negative (adcensus.cu:1039-1044) —
+    and unlike round-half-away it is translation invariant, so probe
+    offsets are per-pixel constants."""
+    return int(math.floor(v + 0.5))
+
+
+def _shift_state(arr, dy, dx, fill):
+    """arr[..., y, x] <- arr[..., y+dy, x+dx], `fill` outside."""
+    out = arr
+    for axis, k in ((-2, dy), (-1, dx)):
+        if k == 0:
+            continue
+        n = out.shape[axis]
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (max(0, -k), max(0, k))
+        sl = [slice(None)] * out.ndim
+        sl[axis] = slice(max(0, k), n + max(0, k))
+        out = jnp.pad(out, pad, constant_values=fill)[tuple(sl)]
+    return out
+
+
 def interpolate_mismatch(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
     """Fill mismatched pixels with the median of the 16 nearest
     non-mismatch disparities along fixed rays (adcensus.cu:1001-1057).
 
-    Every ray on every pixel advances in lock-step inside a
-    ``while_loop``; a ray lands on the first probe that is out of frame
-    or not labeled mismatch. Landed in-frame probes contribute d0 at
-    the probe; the result is the upper median (vals[size/2] of the
-    sorted list)."""
+    A ray lands on the first probe that is out of frame (contributing
+    nothing) or not labeled mismatch (contributing d0 there); the fill
+    is the upper median (vals[count/2]) of the contributing rays.
+
+    TPU-native design: the reference walks each ray until it lands —
+    unbounded, and worst-case O(16·H·W·max(H,W)) on noisy disparity
+    maps. Here each direction's walk is resolved by pointer doubling:
+    the probe pattern repeats with period one or two steps, so "first
+    non-mismatch along the ray" composes associatively and log2(extent)
+    rounds of masked whole-image shifts resolve every ray — bounded,
+    data-independent cost.
+    """
     d0 = jnp.asarray(d0)
     outlier = jnp.asarray(outlier)
     H, W = d0.shape
+    is_mm = outlier == MISMATCH
+    not_mm = ~is_mm
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
-    dirs = jnp.asarray(_RAY_DIRS)  # (16, 2)
-    t_max = max(H, W) + 2
 
-    is_mm = outlier == MISMATCH
+    def check(dy, dx, excl_y=False, excl_x=False):
+        """Single-probe state at offset (dy, dx) from each pixel:
+        (done, has, val). Out of frame -> done with no value.
 
-    def in_frame(py, px):
-        return (py >= 0) & (py < H) & (px >= 0) & (px < W)
+        excl_y/excl_x: the probe's true coordinate is its integer
+        coordinate minus 0.5 (odd steps of negative-half directions),
+        so a probe AT row/column 0 is really at -0.5 -> out of frame.
+        """
+        inside_o = _shift_state(jnp.ones((H, W), bool), dy, dx, False)
+        if excl_y:
+            inside_o = inside_o & (ys + dy != 0)
+        if excl_x:
+            inside_o = inside_o & (xs + dx != 0)
+        nm = _shift_state(not_mm, dy, dx, True)  # out of frame: lands empty
+        val = _shift_state(d0, dy, dx, 0.0)
+        done = nm | ~inside_o
+        has = nm & inside_o
+        return done, has, jnp.where(has, val, 0.0)
 
-    def probe(t):
-        px = jnp.round(xs[None] + dirs[:, 0, None, None] * t).astype(jnp.int32)
-        py = jnp.round(ys[None] + dirs[:, 1, None, None] * t).astype(jnp.int32)
-        return py, px
+    def compose(a, b_shift):
+        """Resolve a, else take b shifted to the jump target."""
+        (da, ha, va), (db, hb, vb) = a, b_shift
+        return (da | db, jnp.where(da, ha, hb), jnp.where(da, va, vb))
 
-    def cond(state):
-        t, alive, _, _ = state
-        return (t <= t_max) & jnp.any(alive)
+    vals_list, has_list = [], []
+    for fdx, fdy in _RAY_DIRS:
+        u1 = (_half_up(fdy), _half_up(fdx))
+        u2 = (_half_up(2 * fdy), _half_up(2 * fdx))
+        half = (abs(fdx) == 0.5) or (abs(fdy) == 0.5)
+        # base state: probes t=1 (and t=2 for half-step dirs); the ray
+        # from t beyond the base is the ray of the pixel at jump J
+        state = check(*u1, excl_y=(fdy == -0.5), excl_x=(fdx == -0.5))
+        jy, jx = (u2 if half else u1)
+        if half:
+            s2 = check(*u2)
+            state = compose(state, s2)
+        n_rounds = math.ceil(math.log2(max(H, W))) + 1
+        for _ in range(n_rounds):
+            shifted = tuple(
+                _shift_state(s, jy, jx, f)
+                for s, f in zip(state, (True, False, 0.0)))
+            state = compose(state, shifted)
+            jy, jx = 2 * jy, 2 * jx
+        done, has, val = state
+        has_list.append(has)
+        vals_list.append(val)
 
-    def body(state):
-        t, alive, vals, has = state
-        py, px = probe(t.astype(jnp.float32))
-        inside = in_frame(py, px)
-        o = outlier[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
-        still_mm = inside & (o == MISMATCH)
-        landed = alive & ~still_mm
-        landed_valid = landed & inside
-        v = d0[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)]
-        vals = jnp.where(landed_valid, v, vals)
-        has = has | landed_valid
-        return t + 1, alive & still_mm, vals, has
-
-    alive0 = jnp.broadcast_to(is_mm[None], (16, H, W))
-    vals0 = jnp.zeros((16, H, W), d0.dtype)
-    has0 = jnp.zeros((16, H, W), bool)
-    _, _, vals, has = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), alive0, vals0, has0))
-
+    has = jnp.stack(has_list)
+    vals = jnp.stack(vals_list)
     cnt = has.sum(axis=0)
     sorted_vals = jnp.sort(jnp.where(has, vals, jnp.inf), axis=0)
     med = jnp.take_along_axis(sorted_vals, (cnt // 2)[None], axis=0)[0]

@@ -47,6 +47,9 @@ def _pallas_default() -> bool:
         return True
     if _PALLAS_MODE == "0":
         return False
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
     return jax.default_backend() == "tpu"
 
 
@@ -113,66 +116,76 @@ def _sweep_pallas(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
     T, S, D = vol_s.shape
     Dp = -(-D // 128) * 128
     # scanlines are independent: tile them so each block fits VMEM
-    # comfortably (grid order: scanline tile outer, sweep step inner,
-    # so the carried state belongs to one tile at a time)
+    # comfortably (grid order: scanline tile outer, sweep steps inner,
+    # so the carried state belongs to one tile at a time); K sweep
+    # steps per grid iteration amortize the per-step pipeline overhead
+    # measured sweet spot on v5e at KITTI scale: single-step blocks of
+    # 256 scanlines (batching steps or widening blocks both lose)
+    K = 1
+    Tp = -(-T // K) * K
     St = min(S, 256)
     Sp = -(-S // St) * St
-    pad = ((0, 0), (0, Sp - S), (0, Dp - D))
+    pad = ((0, Tp - T), (0, Sp - S), (0, Dp - D))
     vol_p = jnp.pad(vol_s, pad, constant_values=jnp.nan)
     d2_p = jnp.pad(d2_s, pad, constant_values=10.0)
-    d1_p = jnp.pad(d1_s[:, :, None], ((0, 0), (0, Sp - S), (0, 0)))
+    d1_p = jnp.pad(d1_s[:, :, None], ((0, Tp - T), (0, Sp - S), (0, 0)))
 
     p1a_div = alpha1 if sgm_dir == 2 else 1.0
     p1b_div = alpha1 if sgm_dir == 3 else 1.0
 
     def kernel(vol_ref, d1_ref, d2_ref, out_ref, prev_ref):
-        t = pl.program_id(1)
-        vol = vol_ref[0]  # (St, Dp)
+        tb = pl.program_id(1)
 
-        @pl.when(t == 0)
-        def _():
-            out_ref[0] = vol
-            prev_ref[:] = vol
+        def one_step(k, _):
+            vol = vol_ref[k]  # (St, Dp)
 
-        @pl.when(t > 0)
-        def _():
-            prev = prev_ref[:]
-            prev_min = jnp.min(jnp.where(jnp.isnan(prev), _BIG, prev),
-                               axis=-1, keepdims=True)
-            D1 = d1_ref[0]  # (S, 1)
-            D2 = d2_ref[0]  # (S, Dp)
-            P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-            up = jnp.where(lane == 0, _BIG, pltpu.roll(prev, 1, axis=1))
-            # roll by Dp-1 == circular shift by -1 (pltpu.roll requires
-            # a non-negative shift)
-            dn = jnp.where(lane == D - 1, _BIG,
-                           pltpu.roll(prev, Dp - 1, axis=1))
-            cost = jnp.fmin(prev, prev_min + P2)
-            cost = jnp.fmin(cost, up + P1 / p1a_div)
-            cost = jnp.fmin(cost, dn + P1 / p1b_div)
-            val = vol + cost - prev_min
-            out_ref[0] = val
-            prev_ref[:] = val
+            @pl.when((tb == 0) & (k == 0))
+            def _():
+                out_ref[0] = vol
+                prev_ref[:] = vol
+
+            @pl.when((tb > 0) | (k > 0))
+            def _():
+                prev = prev_ref[:]
+                prev_min = jnp.min(jnp.where(jnp.isnan(prev), _BIG, prev),
+                                   axis=-1, keepdims=True)
+                D1 = d1_ref[k]  # (St, 1)
+                D2 = d2_ref[k]  # (St, Dp)
+                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                up = jnp.where(lane == 0, _BIG, pltpu.roll(prev, 1, axis=1))
+                # roll by Dp-1 == circular shift by -1 (pltpu.roll
+                # requires a non-negative shift)
+                dn = jnp.where(lane == D - 1, _BIG,
+                               pltpu.roll(prev, Dp - 1, axis=1))
+                cost = jnp.fmin(prev, prev_min + P2)
+                cost = jnp.fmin(cost, up + P1 / p1a_div)
+                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                val = vol + cost - prev_min
+                out_ref[k] = val
+                prev_ref[:] = val
+            return 0
+
+        jax.lax.fori_loop(0, K, one_step, 0, unroll=True)
 
     out = pl.pallas_call(
         kernel,
-        grid=(Sp // St, T),
+        grid=(Sp // St, Tp // K),
         in_specs=[
-            pl.BlockSpec((1, St, Dp), lambda s, t: (t, s, 0),
+            pl.BlockSpec((K, St, Dp), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, 1), lambda s, t: (t, s, 0),
+            pl.BlockSpec((K, St, 1), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, Dp), lambda s, t: (t, s, 0),
+            pl.BlockSpec((K, St, Dp), lambda s, t: (t, s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, St, Dp), lambda s, t: (t, s, 0),
+        out_specs=pl.BlockSpec((K, St, Dp), lambda s, t: (t, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, Sp, Dp), vol_s.dtype),
         scratch_shapes=[pltpu.VMEM((St, Dp), vol_s.dtype)],
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _pallas_default(),
     )(vol_p, d1_p, d2_p)
-    return out[:, :S, :D]
+    return out[:T, :S, :D]
 
 
 def _grad_with_sentinel(img, axis, step, sentinel=None):

@@ -88,7 +88,12 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name):
     if arch == "fast":
         feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                    arch="fast", padding="SAME", dtype=dtype)
-        vol_l, vol_r = costs.stereo_join(feats[0], feats[1], D)
+        from mccnn_tpu.ops.sgm import _pallas_default
+        if _pallas_default():
+            from mccnn_tpu.ops.join_pallas import stereo_join_mxu
+            vol_l, vol_r = stereo_join_mxu(feats[0], feats[1], D)
+        else:
+            vol_l, vol_r = costs.stereo_join(feats[0], feats[1], D)
     elif arch == "slow":
         vol_l, vol_r = slow_cost_volumes(params, x0, x1, D, dtype=dtype)
     else:

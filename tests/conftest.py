@@ -6,3 +6,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Optional CPU-only test lane: MCCNN_TEST_CPU=1 pins the default device
+# to host CPU (insulates tests from remote-TPU tunnel state) and turns
+# off the TPU-only Pallas kernels.
+if os.environ.get("MCCNN_TEST_CPU"):
+    os.environ.setdefault("MCCNN_SGM_PALLAS", "0")
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -242,14 +242,19 @@ def interpolate_mismatch(d0, outlier):
             if outlier[y, x] != 2:
                 continue
             vals = []
+            def rnd(v):
+                # C roundf: half away from zero (adcensus.cu:1039-1044)
+                import math as _m
+                return int(_m.floor(v + 0.5)) if v >= 0 else int(_m.ceil(v - 0.5))
+
             for ddx, ddy in _RAY_DIRS:
                 xx, yy = float(x), float(y)
-                xx_i, yy_i = round(xx), round(yy)
+                xx_i, yy_i = rnd(xx), rnd(yy)
                 while (0 <= yy_i < H and 0 <= xx_i < W
                        and outlier[yy_i, xx_i] == 2):
                     xx += ddx
                     yy += ddy
-                    xx_i, yy_i = round(xx), round(yy)
+                    xx_i, yy_i = rnd(xx), rnd(yy)
                 if 0 <= yy_i < H and 0 <= xx_i < W:
                     vals.append(d0[yy_i, xx_i])
             assert vals

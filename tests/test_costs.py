@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -71,3 +72,26 @@ def test_wta_nan_and_ties():
     out = np.asarray(costs.wta(vol))
     assert out[0, 0] == 1  # NaN at d=0 never wins
     assert out[0, 1] == 1  # tie -> lowest d
+
+
+def test_stereo_join_mxu_matches_xla():
+    """The banded-Gram MXU kernel must reproduce the XLA join exactly
+    (f32 HIGHEST matmul precision). TPU only."""
+    import jax
+    import pytest
+
+    if jnp.zeros(1).device.platform != "tpu":
+        pytest.skip("Pallas TPU kernel")
+    from mccnn_tpu.ops import costs
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu
+
+    rng2 = np.random.RandomState(9)
+    H, W, C, D = 20, 300, 64, 48
+    fl = rng2.randn(H, W, C).astype(np.float32)
+    fr = rng2.randn(H, W, C).astype(np.float32)
+    vl0, vr0 = costs.stereo_join(jnp.asarray(fl), jnp.asarray(fr), D)
+    vl1, vr1 = stereo_join_mxu(jnp.asarray(fl), jnp.asarray(fr), D)
+    for a, b in ((vl0, vl1), (vr0, vr1)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.nanmax(np.abs(a - b)) < 1e-4
