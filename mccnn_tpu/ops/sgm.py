@@ -219,46 +219,88 @@ def _d2_columns(x1, dx, dy, direction, D):
     return jnp.pad(g, ((0, 0), (D, D)), constant_values=10.0)
 
 
+def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
+               sgm_q2, use_pallas):
+    """Four sweeps, summed, for one OR both reference directions at once.
+
+    vols: {direction: (D, H, W)}. When both directions are present the
+    two volumes are stacked along the scanline axis of every sweep —
+    scanlines are independent, the sweep order is shared, and only the
+    D2 penalty table differs per direction — so both results cost one
+    set of sweeps instead of two (the serialized sweep steps are the
+    pipeline's critical path).
+    """
+    sweep = _sweep_pallas if (_pallas_default() if use_pallas is None
+                              else use_pallas) else _sweep
+    dirs = sorted(vols)
+    D, H, W = vols[dirs[0]].shape
+    q1, q2 = sgm_q1, sgm_q2
+    ds = jnp.arange(D)
+    n = len(dirs)
+
+    outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
+
+    # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
+    vol_x = jnp.concatenate(
+        [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs], axis=1)  # (W, nH, D)
+    for sgm_dir, dx in ((0, 1), (1, -1)):
+        d1 = _grad_with_sentinel(x0, axis=1, step=dx).T  # (W, H)
+        d1s = jnp.concatenate([d1] * n, axis=1)          # (W, nH)
+        d2_parts = []
+        for direction in dirs:
+            d2col = _d2_columns(x1, dx, 0, direction, D)  # (H, W+2D)
+            starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
+            d2_all = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(d2col, (0, s), (H, D)))(starts)
+            if direction < 0:
+                d2_all = d2_all[..., ::-1]
+            d2_parts.append(d2_all)
+        d2s = jnp.concatenate(d2_parts, axis=1)          # (W, nH, D)
+        order = slice(None) if dx == 1 else slice(None, None, -1)
+        res = sweep(vol_x[order], d1s[order], d2s[order],
+                    pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
+        for i, d in enumerate(dirs):
+            outs[d] = outs[d] + jnp.transpose(
+                res[:, i * H:(i + 1) * H], (2, 1, 0))
+
+    # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
+    vol_y = jnp.concatenate(
+        [jnp.transpose(vols[d], (1, 2, 0)) for d in dirs], axis=1)  # (H, nW, D)
+    for sgm_dir, dy in ((2, 1), (3, -1)):
+        d1 = _grad_with_sentinel(x0, axis=0, step=dy)  # (H, W)
+        d1s = jnp.concatenate([d1] * n, axis=1)        # (H, nW)
+        d2_parts = []
+        for direction in dirs:
+            d2col = _d2_columns(x1, 0, dy, direction, D)  # (H, W+2D)
+            idx = jnp.clip(jnp.arange(W)[:, None] + ds[None, :] * direction + D,
+                           0, W + 2 * D - 1)
+            d2_parts.append(d2col[:, idx])                # (H, W, D)
+        d2s = jnp.concatenate(d2_parts, axis=1)          # (H, nW, D)
+        order = slice(None) if dy == 1 else slice(None, None, -1)
+        res = sweep(vol_y[order], d1s[order], d2s[order],
+                    pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
+        for i, d in enumerate(dirs):
+            outs[d] = outs[d] + jnp.transpose(
+                res[:, i * W:(i + 1) * W], (2, 0, 1))
+
+    return outs
+
+
 def sgm(x0: jnp.ndarray, x1: jnp.ndarray, vol: jnp.ndarray, *, pi1: float,
         pi2: float, tau_so: float, alpha1: float, sgm_q1: float,
         sgm_q2: float, direction: int, use_pallas: bool | None = None
         ) -> jnp.ndarray:
     """All four sweeps, summed (caller divides by 4). vol: (D, H, W)."""
-    sweep = _sweep_pallas if (_pallas_default() if use_pallas is None
-                              else use_pallas) else _sweep
-    D, H, W = vol.shape
-    q1, q2 = sgm_q1, sgm_q2
-    ds = jnp.arange(D)
+    return _sgm_multi(x0, x1, {direction: vol}, pi1=pi1, pi2=pi2,
+                      tau_so=tau_so, alpha1=alpha1, sgm_q1=sgm_q1,
+                      sgm_q2=sgm_q2, use_pallas=use_pallas)[direction]
 
-    out = jnp.zeros_like(vol)
 
-    # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
-    vol_x = jnp.transpose(vol, (2, 1, 0))  # (W, H, D) steps along x
-    for sgm_dir, dx in ((0, 1), (1, -1)):
-        d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W)
-        d2col = _d2_columns(x1, dx, 0, direction, D)   # (H, W+2D)
-        # D2[x] = d2col[:, x + d*direction] — contiguous in d
-        starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
-        d2_all = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(d2col, (0, s), (H, D)))(starts)
-        if direction < 0:
-            d2_all = d2_all[..., ::-1]
-        order = slice(None) if dx == 1 else slice(None, None, -1)
-        res = sweep(vol_x[order], d1.T[order], d2_all[order],
-                     pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
-        out = out + jnp.transpose(res[order], (2, 1, 0))
-
-    # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
-    vol_y = jnp.transpose(vol, (1, 2, 0))  # (H, W, D) steps along y
-    idx = jnp.clip(jnp.arange(W)[:, None] + ds[None, :] * direction + D,
-                   0, W + 2 * D - 1)  # (W, D) Toeplitz gather into padded rows
-    for sgm_dir, dy in ((2, 1), (3, -1)):
-        d1 = _grad_with_sentinel(x0, axis=0, step=dy)  # (H, W)
-        d2col = _d2_columns(x1, 0, dy, direction, D)   # (H, W+2D)
-        d2_all = d2col[:, idx]                         # (H, W, D)
-        order = slice(None) if dy == 1 else slice(None, None, -1)
-        res = sweep(vol_y[order], d1[order], d2_all[order],
-                     pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
-        out = out + jnp.transpose(res[order], (2, 0, 1))
-
-    return out
+def sgm_pair(x0, x1, vol_m1, vol_p1, *, pi1, pi2, tau_so, alpha1,
+             sgm_q1, sgm_q2, use_pallas=None):
+    """Both reference directions in one fused sweep set; returns
+    (out_minus1, out_plus1)."""
+    outs = _sgm_multi(x0, x1, {-1: vol_m1, 1: vol_p1}, pi1=pi1, pi2=pi2,
+                      tau_so=tau_so, alpha1=alpha1, sgm_q1=sgm_q1,
+                      sgm_q2=sgm_q2, use_pallas=use_pallas)
+    return outs[-1], outs[1]

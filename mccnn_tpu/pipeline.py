@@ -120,21 +120,28 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
         x0c = cross.cross_arms(x0, L1, tau1)
         x1c = cross.cross_arms(x1, L1, tau1)
 
-    disp = {}
-    final_vols = {}
+    cur = {}
     for direction in directions:
         vol = vols[direction]
         if do_cbca:
             for _ in range(cbca_i1):
                 vol = cross.cbca(x0c, x1c, vol, direction, L1)
-        if _active_after(sm_terminate, "cbca1") and sm_skip != "sgm":
-            for _ in range(sgm_i):
-                out = sgm_mod.sgm(x0, x1, vol, pi1=pi1, pi2=pi2,
-                                  tau_so=tau_so, alpha1=alpha1,
-                                  sgm_q1=sgm_q1, sgm_q2=sgm_q2,
-                                  direction=direction,
-                                  use_pallas=sgm_pallas)
-                vol = out / 4.0
+        cur[direction] = vol
+
+    if _active_after(sm_terminate, "cbca1") and sm_skip != "sgm":
+        # both reference directions share one fused sweep set — the
+        # serialized SGM steps are the pipeline's critical path
+        for _ in range(sgm_i):
+            outs = sgm_mod._sgm_multi(
+                x0, x1, cur, pi1=pi1, pi2=pi2, tau_so=tau_so,
+                alpha1=alpha1, sgm_q1=sgm_q1, sgm_q2=sgm_q2,
+                use_pallas=sgm_pallas)
+            cur = {d: v / 4.0 for d, v in outs.items()}
+
+    disp = {}
+    final_vols = {}
+    for direction in directions:
+        vol = cur[direction]
         if _active_after(sm_terminate, "sgm") and do_cbca:
             for _ in range(cbca_i2):
                 vol = cross.cbca(x0c, x1c, vol, direction, L1)
