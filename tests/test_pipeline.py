@@ -51,3 +51,12 @@ def test_sm_skip_changes_output():
     cfg_skip = make_config("kitti", "census", a="predict", sm_skip="sgm")
     skipped = np.asarray(stereo_predict(cfg_skip, None, X0, X1, D))
     assert not np.array_equal(base, skipped)
+
+
+def test_bf16_compute_dtype_runs():
+    """-dtype bfloat16 drives the matching network in bf16 (TPU-native
+    extension; the method stages stay f32)."""
+    cfg = make_config("kitti", "fast", a="predict", dtype="bfloat16")
+    params = init_params(cfg)
+    disp = np.asarray(stereo_predict(cfg, params, X0, X1, D))
+    assert np.isfinite(disp).all()
