@@ -22,8 +22,11 @@ from mccnn_tpu.utils import images as im
 
 
 def _sync(x):
-    import jax
-    jax.block_until_ready(x)
+    """Force completion: reduce on device, read 4 bytes. (On remote
+    tunnels block_until_ready returns before execution finishes, and
+    bulk device->host reads can be pathologically slow.)"""
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
 
 
 def init_params(cfg: Config, seed: int | None = None):
