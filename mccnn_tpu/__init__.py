@@ -19,3 +19,24 @@ primarily main.lua and adcensus.cu. Citations in docstrings use
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across processes (first compile of
+    the full pipeline takes minutes; subsequent runs hit the cache)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MCCNN_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "mccnn_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache setup break the library
+        pass
+
+
+_enable_compilation_cache()
