@@ -226,6 +226,138 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
     return out[:, :S, :D]
 
 
+def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
+                        D, rev_base, pi1, pi2, tau_so, alpha1, q1, q2,
+                        sgm_dir):
+    """Horizontal streaming sweep with slab-resident penalties.
+
+    The horizontal sweeps' D2 table is, per step x, a lane-contiguous
+    slice of the per-scanline gradient slab (forward tiles at offset
+    x + D; reversed-direction tiles read a lane-reversed slab at offset
+    W + D - 1 - x), and D1 is a width-1 lane slice — so the penalty
+    inputs live in VMEM for the whole sweep and ONLY the volume
+    streams, roughly halving the sweep's DMA traffic vs
+    :func:`_sweep_stream`.
+
+    vol_s: (T, Sp, Dp) already padded and in sweep order.
+    d1_slab: (Sp, WL) per-scanline |x0 gradient| rows, lane x = step x.
+    g_slab: (Sp, GL) per-scanline D2 rows (reversed rows for the first
+    ``n_rev_tiles`` scanline tiles).
+    reverse_steps: sweep runs x = T-1-t (the <- sweep).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, Sp, Dp = vol_s.shape
+    St = 256
+    assert Sp % St == 0
+    WL = d1_slab.shape[1]
+    GL = g_slab.shape[1]
+    p1a_div = alpha1 if sgm_dir == 2 else 1.0
+    p1b_div = alpha1 if sgm_dir == 3 else 1.0
+
+    def kernel(vol_hbm, d1_hbm, g_hbm, out_hbm, vol_b, out_b, prev,
+               d1_v, g_v, in_sems, out_sems, slab_sems):
+        s = pl.program_id(0)
+        cp_d1 = pltpu.make_async_copy(
+            d1_hbm.at[pl.ds(s * St, St), :], d1_v, slab_sems.at[0])
+        cp_g = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(s * St, St), :], g_v, slab_sems.at[1])
+        cp_d1.start()
+        cp_g.start()
+
+        def in_dma(slot, t):
+            return pltpu.make_async_copy(
+                vol_hbm.at[t, pl.ds(s * St, St), :], vol_b.at[slot],
+                in_sems.at[slot])
+
+        def out_dma(slot, t):
+            return pltpu.make_async_copy(
+                out_b.at[slot], out_hbm.at[t, pl.ds(s * St, St), :],
+                out_sems.at[slot])
+
+        in_dma(0, 0).start()
+        cp_d1.wait()
+        cp_g.wait()
+        is_rev = s < n_rev_tiles
+
+        def body(t, _):
+            slot = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < T)
+            def _():
+                in_dma(nxt, t + 1).start()
+            in_dma(slot, t).wait()
+            vol = vol_b[slot]
+
+            @pl.when(t > 1)
+            def _():
+                out_dma(slot, t - 2).wait()
+
+            @pl.when(t == 0)
+            def _():
+                out_b[slot] = vol
+                prev[:] = vol
+
+            @pl.when(t > 0)
+            def _():
+                x = (T - 1 - t) if reverse_steps else t
+                p = prev[:]
+                pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
+                             keepdims=True)
+                # dynamic lane slices must be 128-aligned: load an
+                # aligned window one tile wider, rotate the remainder
+                off = jnp.where(is_rev, rev_base - x, x + D)
+                off_al = pl.multiple_of((off // 128) * 128, 128)
+                rem = off - off_al
+                gwin = g_v[:, pl.ds(off_al, Dp + 128)]
+                D2 = pltpu.roll(gwin, (Dp + 128) - rem, axis=1)[:, :Dp]
+                x_al = pl.multiple_of((x // 128) * 128, 128)
+                dwin = d1_v[:, pl.ds(x_al, 128)]
+                D1 = pltpu.roll(dwin, 128 - (x - x_al), axis=1)[:, :1]
+                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
+                dn = jnp.where(lane == D - 1, _BIG,
+                               pltpu.roll(p, Dp - 1, axis=1))
+                cost = jnp.fmin(p, pm + P2)
+                cost = jnp.fmin(cost, up + P1 / p1a_div)
+                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                val = vol + cost - pm
+                out_b[slot] = val
+                prev[:] = val
+            out_dma(slot, t).start()
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        out_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+
+        @pl.when(T > 1)
+        def _():
+            out_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Sp // St,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, St, Dp), vol_s.dtype),
+            pltpu.VMEM((2, St, Dp), vol_s.dtype),
+            pltpu.VMEM((St, Dp), vol_s.dtype),
+            pltpu.VMEM((St, WL), vol_s.dtype),
+            pltpu.VMEM((St, GL), vol_s.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(vol_s, d1_slab, g_slab)
+    return out
+
+
 def _sweep_grid(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                 sgm_dir):
     """Grid-per-step variant (interpret-friendly; used off-TPU)."""
@@ -360,27 +492,72 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
     outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
 
     # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
-    vol_x = jnp.concatenate(
-        [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs], axis=1)  # (W, nH, D)
-    for sgm_dir, dx in ((0, 1), (1, -1)):
-        d1 = _grad_with_sentinel(x0, axis=1, step=dx).T  # (W, H)
-        d1s = jnp.concatenate([d1] * n, axis=1)          # (W, nH)
-        d2_parts = []
-        for direction in dirs:
-            d2col = _d2_columns(x1, dx, 0, direction, D)  # (H, W+2D)
-            starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
-            d2_all = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(d2col, (0, s), (H, D)))(starts)
-            if direction < 0:
-                d2_all = d2_all[..., ::-1]
-            d2_parts.append(d2_all)
-        d2s = jnp.concatenate(d2_parts, axis=1)          # (W, nH, D)
-        order = slice(None) if dx == 1 else slice(None, None, -1)
-        res = sweep(vol_x[order], d1s[order], d2s[order],
-                    pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
-        for i, d in enumerate(dirs):
-            outs[d] = outs[d] + jnp.transpose(
-                res[:, i * H:(i + 1) * H], (2, 1, 0))
+    # slab-penalty variant: validated for correctness but still being
+    # qualified at full scale — opt in with MCCNN_SGM_HSLAB=1
+    hslab = (os.environ.get("MCCNN_SGM_HSLAB", "0") == "1"
+             and (use_pallas if use_pallas is not None
+                  else _pallas_default()) and _pallas_default())
+    if hslab:
+        # slab-resident penalties: D2 per step x is a lane slice of a
+        # per-scanline gradient slab (reversed rows for direction -1),
+        # D1 a width-1 slice — only the volume streams during the sweep
+        St = 256
+        Dp = -(-D // 128) * 128
+        Hp = -(-H // St) * St
+        GL = -(-(W + D + Dp + 128) // 128) * 128
+        WLp = -(-W // 128) * 128
+        n_rev = (Hp // St) if (-1 in dirs) else 0
+        vol_x = jnp.concatenate(
+            [jnp.pad(jnp.transpose(vols[d], (2, 1, 0)),
+                     ((0, 0), (0, Hp - H), (0, Dp - D)),
+                     constant_values=jnp.nan) for d in dirs],
+            axis=1)  # (W, n*Hp, Dp)
+        for sgm_dir, dx in ((0, 1), (1, -1)):
+            d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W)
+            d1p = jnp.pad(d1, ((0, Hp - H), (0, WLp - W)))
+            d1_slab = jnp.concatenate([d1p] * n, axis=0)
+            g0 = _d2_columns(x1, dx, 0, 1, D)  # (H, W+2D), dir-agnostic
+            slabs = []
+            for direction in dirs:
+                core = g0[:, ::-1] if direction < 0 else g0
+                slabs.append(jnp.pad(
+                    core, ((0, Hp - H), (0, GL - core.shape[1])),
+                    constant_values=10.0))
+            g_slab = jnp.concatenate(slabs, axis=0)
+            rev_steps = dx == -1
+            vol_in = vol_x[::-1] if rev_steps else vol_x
+            res = _sweep_stream_hslab(
+                vol_in, d1_slab, g_slab, n_rev, rev_steps, D, W + D - 1,
+                pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
+            if rev_steps:
+                res = res[::-1]
+            for i, d in enumerate(dirs):
+                outs[d] = outs[d] + jnp.transpose(
+                    res[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
+    else:
+        vol_x = jnp.concatenate(
+            [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs],
+            axis=1)  # (W, nH, D)
+        for sgm_dir, dx in ((0, 1), (1, -1)):
+            d1 = _grad_with_sentinel(x0, axis=1, step=dx).T  # (W, H)
+            d1s = jnp.concatenate([d1] * n, axis=1)          # (W, nH)
+            d2_parts = []
+            for direction in dirs:
+                d2col = _d2_columns(x1, dx, 0, direction, D)  # (H, W+2D)
+                starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
+                d2_all = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        d2col, (0, s), (H, D)))(starts)
+                if direction < 0:
+                    d2_all = d2_all[..., ::-1]
+                d2_parts.append(d2_all)
+            d2s = jnp.concatenate(d2_parts, axis=1)          # (W, nH, D)
+            order = slice(None) if dx == 1 else slice(None, None, -1)
+            res = sweep(vol_x[order], d1s[order], d2s[order],
+                        pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
+            for i, d in enumerate(dirs):
+                outs[d] = outs[d] + jnp.transpose(
+                    res[:, i * H:(i + 1) * H], (2, 1, 0))
 
     # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
     vol_y = jnp.concatenate(
