@@ -101,10 +101,31 @@ def action_time(cfg: Config) -> None:
     print(runtime_min)
 
 
+def apply_device(cfg: Config) -> None:
+    """Honor -backend / -gpu: pin jax's default device.
+
+    ``-gpu N`` is 1-based like the reference's ``cutorch.setDevice``
+    (main.lua:16,342); ``-backend`` selects the jax platform ("cpu",
+    "tpu", ...). With the defaults (-gpu 1, no -backend) nothing is
+    touched, so test lanes that pin their own device are unaffected.
+    """
+    if not cfg.backend and cfg.gpu == 1:
+        return
+    import jax
+
+    devices = jax.devices(cfg.backend) if cfg.backend else jax.devices()
+    if not 1 <= cfg.gpu <= len(devices):
+        raise SystemExit(
+            f"-gpu {cfg.gpu}: only {len(devices)} "
+            f"{cfg.backend or 'default'} device(s) visible")
+    jax.config.update("jax_default_device", devices[cfg.gpu - 1])
+
+
 def dispatch(cfg: Config, tail: list[str]) -> None:
     if cfg.print_args:
         print_args(cfg)
         return
+    apply_device(cfg)
     np.random.seed(cfg.seed)
 
     if cfg.a == "predict":

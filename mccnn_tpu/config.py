@@ -28,7 +28,7 @@ class Config:
     arch: str = "fast"
 
     # generic flags (main.lua:16-32)
-    gpu: int = 1  # accepted for CLI parity; selects jax device index
+    gpu: int = 1  # 1-based jax device index (cli.apply_device; cutorch.setDevice parity)
     seed: int = 42
     debug: bool = False
     a: str = "train_tr"
@@ -109,7 +109,7 @@ class Config:
 
     # TPU-native extensions (no reference analog)
     dtype: str = "float32"  # compute dtype for the matching network
-    backend: str = ""  # "" = default jax backend
+    backend: str = ""  # jax platform to run on ("cpu"/"tpu"; "" = default, cli.apply_device)
     data_dir: str = ""  # override dataset directory
     checkpoint_every: int = 0  # mid-train checkpointing (0 = reference behavior)
     resume: str = ""  # resume training from a checkpoint directory

@@ -46,7 +46,8 @@ def _method_kwargs(cfg: Config, disp_max: int, directions):
         sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
         return_vols=False,
         # the Pallas sweep is a single-device kernel; under GSPMD let
-        # XLA's scan formulation partition freely
+        # XLA's scan formulation partition freely (the MXU join gets
+        # the same treatment via use_pallas=False in _volumes_jit)
         sgm_pallas=False)
 
 
@@ -70,7 +71,7 @@ def make_sharded_predict(cfg: Config, mesh: Mesh, disp_max: int,
         x1 = jax.lax.with_sharding_constraint(x1, row)
         vols = pipe._volumes_jit(params, x0, x1, arch=cfg.arch,
                                  disp_max=int(disp_max), ws=cfg.ws,
-                                 dtype_name=cfg.dtype)
+                                 dtype_name=cfg.dtype, use_pallas=False)
         vol_row = NamedSharding(mesh, P(None, axis, None))
         vols = {k: jax.lax.with_sharding_constraint(v, vol_row)
                 for k, v in vols.items()}
@@ -98,7 +99,7 @@ def make_batch_predict(cfg: Config, mesh: Mesh, disp_max: int,
     def one(params, x0, x1):
         vols = pipe._volumes_jit(params, x0, x1, arch=cfg.arch,
                                  disp_max=int(disp_max), ws=cfg.ws,
-                                 dtype_name=cfg.dtype)
+                                 dtype_name=cfg.dtype, use_pallas=False)
         return pipe._method_jit(vols, x0, x1, blur_kernel=blur_kernel, **kw)
 
     @functools.partial(jax.jit, out_shardings=batch)

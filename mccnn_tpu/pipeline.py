@@ -73,10 +73,18 @@ def _active_after(terminate: str, stage: str) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("arch", "disp_max", "ws",
-                                             "dtype_name"))
-def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name):
+                                             "dtype_name", "use_pallas"))
+def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
+                 use_pallas=None):
     """Cost volumes for both reference directions
-    (main.lua:932-951, 958-987). Returns {-1: vol, +1: vol}."""
+    (main.lua:932-951, 958-987). Returns {-1: vol, +1: vol}.
+
+    ``use_pallas=None`` means "Pallas MXU join on TPU, XLA join
+    elsewhere". Sharded inference passes False: the Pallas kernel is a
+    single-device program, so under GSPMD the einsum formulation (which
+    XLA can partition) is used instead — same escape hatch as the SGM
+    sweeps (parallel/inference.py).
+    """
     dtype = jnp.dtype(dtype_name)
     D = disp_max
     if arch == "ad":
@@ -89,7 +97,7 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name):
         feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                    arch="fast", padding="SAME", dtype=dtype)
         from mccnn_tpu.ops.sgm import _pallas_default
-        if _pallas_default():
+        if _pallas_default() if use_pallas is None else use_pallas:
             from mccnn_tpu.ops.join_pallas import stereo_join_mxu
             vol_l, vol_r = stereo_join_mxu(feats[0], feats[1], D)
         else:

@@ -34,6 +34,14 @@ from mccnn_tpu.train.augment import AugmentSampler, warp_patches
 CHUNK_STEPS = 32
 
 
+def n_epoch_steps(n_rows: int, bs_half: int) -> int:
+    """Minibatch count of one epoch: the reference loop
+    `for t = 1, N - bs/2, bs/2` (main.lua:789) runs while
+    t <= N - bs/2 — one more step than plain floor division whenever
+    N % bs/2 != 0."""
+    return 1 + (n_rows - bs_half - 1) // bs_half if n_rows > bs_half else 0
+
+
 def loss_fn(params, patches, labels, *, arch: str, m: float, pow: int,
             dtype):
     """patches: (2*bs, ws, ws) — consecutive (L, R) siamese pairs.
@@ -157,7 +165,7 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
         rng_e = np.random.RandomState(cfg.seed * 1000003 + epoch)
         sampler = AugmentSampler(cfg, rng_e)
         perm = rng_e.permutation(len(nnz))
-        n_steps_total = (len(nnz) - bs_half) // bs_half
+        n_steps_total = n_epoch_steps(len(nnz), bs_half)
         err_sum, err_cnt = 0.0, 0
 
         # host chunks are built one step ahead of the device (the

@@ -31,6 +31,49 @@ def test_print_args_paper_notation(capsys):
     assert float(lines["sgm_Q2"]) == cfg.sgm_q1 * cfg.sgm_q2
 
 
+def test_apply_device_selects_backend_and_index():
+    """-backend/-gpu pin jax's default device (1-based, like
+    cutorch.setDevice, main.lua:16,342)."""
+    import jax
+
+    from mccnn_tpu.cli import apply_device
+
+    prev = jax.config.jax_default_device
+    try:
+        cfg = make_config("kitti", "fast", backend="cpu", gpu=3)
+        apply_device(cfg)
+        dev = jax.config.jax_default_device
+        assert dev is not None and dev.platform == "cpu"
+        assert dev == jax.devices("cpu")[2]
+
+        # out-of-range index is a usage error
+        cfg_bad = make_config("kitti", "fast", backend="cpu", gpu=999)
+        try:
+            apply_device(cfg_bad)
+            assert False, "expected SystemExit"
+        except SystemExit:
+            pass
+    finally:
+        jax.config.update("jax_default_device", prev)
+
+
+def test_trainer_step_count_matches_reference_loop():
+    """main.lua:789 `for t = 1, N - bs/2, bs/2` — the last partial
+    stride still runs a full batch when N % bs/2 != 0."""
+
+    from mccnn_tpu.train.trainer import n_epoch_steps as steps
+
+    def lua_steps(n, bs_half):
+        t, c = 1, 0
+        while t <= n - bs_half:
+            c += 1
+            t += bs_half
+        return c
+
+    for n in (64, 65, 127, 128, 129, 192, 193, 1000):
+        assert steps(n, 64) == lua_steps(n, 64), n
+
+
 def test_eval_score_is_last_stdout_token(capsys):
     """hs.py:209-211 parses the score from the LAST stdout token."""
     from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
