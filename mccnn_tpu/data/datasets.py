@@ -77,28 +77,46 @@ def load_kitti(cfg: Config) -> StereoDataset:
         return out
 
     main_dir = "data.kitti" if cfg.dataset == "kitti" else "data.kitti2015"
-    a = load_one(main_dir)
     if cfg.at == 1:
-        other = "data.kitti2015" if cfg.dataset == "kitti" else "data.kitti"
-        b = load_one(other)
-        n_a = a["x0"].shape[0]
+        # main.lua:403-426: image rows are ALWAYS ordered [2012 GT
+        # images | 2015 GT images | primary set's test slab]; both tr
+        # lists are concatenated (2015 ids offset by the 2012 GT image
+        # count, 194 for real KITTI); te and the appended test images
+        # come from the primary set only; both nnz_te tables stay out
+        # of nnz_tr. The GT image count is the dispnoc row count
+        # (preprocess writes GT for the training images only).
+        d12 = load_one("data.kitti")
+        d15 = load_one("data.kitti2015")
+        n12 = d12["dispnoc"].shape[0]
+        n15 = d15["dispnoc"].shape[0]
+        prim, n_prim = (d12, n12) if cfg.dataset == "kitti" else (d15, n15)
 
-        def off_nnz(nnz):
+        def merge(key):
+            return np.concatenate([np.asarray(d12[key][:n12]),
+                                   np.asarray(d15[key][:n15]),
+                                   np.asarray(prim[key][n_prim:])])
+
+        def off15(nnz):
             nnz = np.array(nnz, copy=True)
-            nnz[:, 0] += n_a
+            nnz[:, 0] += n12
             return nnz
 
+        te = (np.asarray(d12["te"]) if cfg.dataset == "kitti"
+              else np.asarray(d15["te"]) + n12)
         a = dict(
-            x0=np.concatenate([a["x0"], b["x0"]]),
-            x1=np.concatenate([a["x1"], b["x1"]]),
-            dispnoc=np.concatenate([a["dispnoc"], b["dispnoc"]]),
-            metadata=np.concatenate([a["metadata"], b["metadata"]]),
-            tr=a["tr"],  # train indices stay in the primary set
-            te=a["te"],
-            nnz_tr=np.concatenate([a["nnz_tr"], off_nnz(b["nnz_tr"]),
-                                   off_nnz(b["nnz_te"])]),
-            nnz_te=a["nnz_te"],
+            x0=merge("x0"), x1=merge("x1"), metadata=merge("metadata"),
+            dispnoc=np.concatenate([np.asarray(d12["dispnoc"]),
+                                    np.asarray(d15["dispnoc"])]),
+            tr=np.concatenate([np.asarray(d12["tr"]),
+                               np.asarray(d15["tr"]) + n12]),
+            te=te,
+            nnz_tr=np.concatenate([np.asarray(d12["nnz_tr"]),
+                                   off15(d15["nnz_tr"])]),
+            nnz_te=np.concatenate([np.asarray(d12["nnz_te"]),
+                                   off15(d15["nnz_te"])]),
         )
+    else:
+        a = load_one(main_dir)
     return StereoDataset(
         dataset=cfg.dataset, height=height, width=width, disp_max=disp_max,
         err_at=3, n_te=n_te, X0=a["x0"], X1=a["x1"], dispnoc=a["dispnoc"],
@@ -155,13 +173,17 @@ def subset_nnz(nnz: np.ndarray, image_ids: np.ndarray) -> np.ndarray:
 
 def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
                          width: int = 128, disp_max: int = 16,
-                         seed: int = 42) -> None:
+                         seed: int = 42, n_test_images: int = 0) -> None:
     """Write a tiny synthetic dataset in the exact data.kitti layout.
 
     Left image = random smooth texture; right image = left shifted by a
     ground-truth disparity plane. Used by tests and smoke training —
     the reference has no equivalent (it assumes the real datasets), but
     the binary contract matches preprocess_kitti.lua:118-144.
+
+    ``n_test_images`` appends GT-less submission-test images to
+    x0/x1/metadata (like the real preprocessed sets, where the test
+    slab follows the GT images and dispnoc covers the GT images only).
     """
     from mccnn_tpu.data.bin_io import tofile
 
@@ -195,6 +217,16 @@ def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
             nnz_rows.append((i + 1, y, x, d))
     nnz = np.asarray(nnz_rows, np.float32)
     rng.shuffle(nnz)
+    if n_test_images:
+        Xt0 = rng.randn(n_test_images, 1, height, width).astype(np.float32)
+        Xt1 = rng.randn(n_test_images, 1, height, width).astype(np.float32)
+        X0 = np.concatenate([X0, Xt0])
+        X1 = np.concatenate([X1, Xt1])
+        mt = np.stack([np.full(n_test_images, height, np.int32),
+                       np.full(n_test_images, width, np.int32),
+                       np.arange(n_images, n_images + n_test_images,
+                                 dtype=np.int32)], axis=1)
+        metadata = np.concatenate([metadata, mt])
     tofile(os.path.join(out_dir, "x0.bin"), X0)
     tofile(os.path.join(out_dir, "x1.bin"), X1)
     tofile(os.path.join(out_dir, "dispnoc.bin"), dispnoc)
