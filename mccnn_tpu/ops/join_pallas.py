@@ -86,7 +86,7 @@ def _join_one_sided(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((YB, XB, Cp), lambda y, x: (y, x, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((YB, Dp, XB), lambda y, x: (y, 0, x),
                                memory_space=pltpu.VMEM),

@@ -1,11 +1,17 @@
 import os
 
-# Tests run on CPU with 8 virtual devices so sharding paths are
-# exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# TPU lane: MCCNN_TEST_TPU=1 runs the production Pallas kernels on the
+# real chip (tests/test_tpu_kernels.py); everything in that lane is
+# gated by a skipif, and the CPU pinning below is bypassed.
+if os.environ.get("MCCNN_TEST_TPU"):
+    os.environ.setdefault("MCCNN_SGM_PALLAS", "1")
+else:
+    # Tests run on CPU with 8 virtual devices so sharding paths are
+    # exercised without TPU hardware.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 # Optional CPU-only test lane: MCCNN_TEST_CPU=1 pins the default device
 # to host CPU (insulates tests from remote-TPU tunnel state) and turns

@@ -1,0 +1,213 @@
+"""Oracle tests for the production TPU Pallas kernels.
+
+This is the `MCCNN_TEST_TPU=1` lane the driver runs on the real chip:
+off-TPU the suite exercises only the lax.scan SGM sweep, the
+interpret-mode grid kernel, and the XLA join, but the kernels that
+actually ship on TPU are the *streaming* sweeps (`_sweep_stream`,
+`_sweep_stream_hslab`) and the MXU join (`stereo_join_mxu`). Here each
+one is held against the tests/naive.py loop oracles (the reference's
+test.lua:14-75 pattern) and against the scan formulation on randomized
+shapes, including D not divisible by 128 and scanline counts not
+divisible by 256.
+
+Run: MCCNN_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import naive
+from tests_util import assert_close
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MCCNN_TEST_TPU"),
+    reason="TPU kernel lane: set MCCNN_TEST_TPU=1 on a TPU host")
+
+PARAMS = dict(pi1=4.0, pi2=55.72, tau_so=0.02, alpha1=1.5, sgm_q1=3.0,
+              sgm_q2=2.5)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _require_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+
+
+def _rand_sweep_inputs(rng, T, S, D, with_nan=True):
+    vol = rng.rand(T, S, D).astype(np.float32)
+    if with_nan:
+        # NaN pattern like out-of-frame disparities: leading steps of
+        # some scanlines (the real volumes NaN where x-d leaves frame)
+        mask = rng.rand(T, S, D) < 0.08
+        vol[mask] = np.nan
+        vol[0, : S // 3, D // 2:] = np.nan
+    d1 = (rng.rand(T, S) * 0.1).astype(np.float32)
+    d2 = (rng.rand(T, S, D) * 0.1).astype(np.float32)
+    # some D2 cells at the out-of-frame sentinel
+    d2[rng.rand(T, S, D) < 0.05] = 10.0
+    return vol, d1, d2
+
+
+@pytest.mark.parametrize("shape", [(17, 35, 37), (23, 300, 130),
+                                   (9, 257, 128), (40, 64, 228)])
+@pytest.mark.parametrize("sgm_dir", [0, 1, 2, 3])
+def test_sweep_stream_matches_scan(shape, sgm_dir):
+    """The streaming double-buffered-DMA kernel must be numerically
+    identical (f32) to the lax.scan sweep on awkward shapes."""
+    import jax
+
+    from mccnn_tpu.ops import sgm as sgm_mod
+
+    rng = np.random.RandomState(hash((shape, sgm_dir)) % 2**31)
+    T, S, D = shape
+    vol, d1, d2 = _rand_sweep_inputs(rng, T, S, D)
+
+    args = (PARAMS["pi1"], PARAMS["pi2"], PARAMS["tau_so"],
+            PARAMS["alpha1"], PARAMS["sgm_q1"], PARAMS["sgm_q2"], sgm_dir)
+    got = jax.jit(lambda v, a, b: sgm_mod._sweep_stream(v, a, b, *args))(
+        vol, d1, d2)
+    want = jax.jit(lambda v, a, b: sgm_mod._sweep(v, a, b, *args))(
+        vol, d1, d2)
+    assert_close(np.asarray(got), np.asarray(want), tol=1e-5)
+
+
+def test_sweep_stream_matches_grid():
+    """stream == grid == scan on one randomized shape (VERDICT r01 #1)."""
+    import jax
+
+    from mccnn_tpu.ops import sgm as sgm_mod
+
+    rng = np.random.RandomState(7)
+    vol, d1, d2 = _rand_sweep_inputs(rng, 15, 70, 50)
+    args = (PARAMS["pi1"], PARAMS["pi2"], PARAMS["tau_so"],
+            PARAMS["alpha1"], PARAMS["sgm_q1"], PARAMS["sgm_q2"], 0)
+    stream = np.asarray(jax.jit(
+        lambda v, a, b: sgm_mod._sweep_stream(v, a, b, *args))(vol, d1, d2))
+    grid = np.asarray(jax.jit(
+        lambda v, a, b: sgm_mod._sweep_grid(v, a, b, *args))(vol, d1, d2))
+    scan = np.asarray(jax.jit(
+        lambda v, a, b: sgm_mod._sweep(v, a, b, *args))(vol, d1, d2))
+    assert_close(stream, scan, tol=1e-5)
+    assert_close(grid, scan, tol=1e-5)
+
+
+@pytest.mark.parametrize("hslab", ["0", "1"])
+@pytest.mark.parametrize("direction", [-1, 1])
+def test_sgm_pallas_full_vs_naive(monkeypatch, hslab, direction):
+    """End-to-end sgm() on the Pallas path (with and without the
+    slab-penalty horizontal variant) against the loop oracle."""
+    from mccnn_tpu.ops import sgm as sgm_mod
+
+    monkeypatch.setenv("MCCNN_SGM_HSLAB", hslab)
+    rng = np.random.RandomState(11 + direction)
+    H, W, D = 8, 13, 5
+    x0 = rng.rand(H, W).astype(np.float32)
+    x1 = rng.rand(H, W).astype(np.float32)
+    vol = rng.rand(D, H, W).astype(np.float32)
+    for d in range(D):
+        for x in range(W):
+            if direction == -1 and x - d < 0:
+                vol[d, :, x] = np.nan
+            if direction == 1 and x + d >= W:
+                vol[d, :, x] = np.nan
+    got = sgm_mod.sgm(x0, x1, vol, direction=direction, use_pallas=True,
+                      **PARAMS)
+    want = naive.sgm(x0, x1, vol, PARAMS["pi1"], PARAMS["pi2"],
+                     PARAMS["tau_so"], PARAMS["alpha1"], PARAMS["sgm_q1"],
+                     PARAMS["sgm_q2"], direction)
+    assert_close(np.asarray(got), want, tol=1e-4)
+
+
+def test_sgm_pair_fused_vs_naive(monkeypatch):
+    """Both reference directions through the fused sweep set (the
+    production configuration of pipeline._method_jit)."""
+    from mccnn_tpu.ops import sgm as sgm_mod
+
+    monkeypatch.setenv("MCCNN_SGM_HSLAB", "1")
+    rng = np.random.RandomState(23)
+    H, W, D = 9, 14, 6
+    x0 = rng.rand(H, W).astype(np.float32)
+    x1 = rng.rand(H, W).astype(np.float32)
+    vol_m1 = rng.rand(D, H, W).astype(np.float32)
+    vol_p1 = rng.rand(D, H, W).astype(np.float32)
+    got_m1, got_p1 = sgm_mod.sgm_pair(x0, x1, vol_m1, vol_p1,
+                                      use_pallas=True, **PARAMS)
+    want_m1 = naive.sgm(x0, x1, vol_m1, PARAMS["pi1"], PARAMS["pi2"],
+                        PARAMS["tau_so"], PARAMS["alpha1"],
+                        PARAMS["sgm_q1"], PARAMS["sgm_q2"], -1)
+    want_p1 = naive.sgm(x0, x1, vol_p1, PARAMS["pi1"], PARAMS["pi2"],
+                        PARAMS["tau_so"], PARAMS["alpha1"],
+                        PARAMS["sgm_q1"], PARAMS["sgm_q2"], 1)
+    assert_close(np.asarray(got_m1), want_m1, tol=1e-4)
+    assert_close(np.asarray(got_p1), want_p1, tol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    # (H, W, C, D) — W not multiple of the MXU tile, D not multiple of
+    # 128, D > W band, C below/at lane width
+    (20, 300, 64, 48),
+    (10, 130, 64, 70),
+    (16, 129, 32, 130),
+])
+def test_stereo_join_mxu_vs_naive(shape):
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu
+
+    H, W, C, D = shape
+    rng = np.random.RandomState(sum(shape))
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    got_l, got_r = stereo_join_mxu(jnp.asarray(fl), jnp.asarray(fr), D)
+    want_l, want_r = naive.stereo_join(fl, fr, D)
+    assert_close(np.asarray(got_l), want_l, tol=1e-4)
+    assert_close(np.asarray(got_r), want_r, tol=1e-4)
+
+
+def test_pipeline_fast_pallas_vs_xla():
+    """Full fast-arch pipeline: Pallas kernels (join + SGM) vs the pure
+    XLA formulation on one small standardized pair must agree."""
+    import jax
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+
+    cfg = make_config("kitti", "fast", a="test_te")
+    params = init_params(cfg)
+    rng = np.random.RandomState(5)
+    H, W, D = 64, 96, 16
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = base[:, D:]
+    x1 = base[:, :-D]
+
+    def run(use_pallas):
+        vols = pipe._volumes_jit(params, x0, x1, arch="fast", disp_max=D,
+                                 ws=cfg.ws, dtype_name="float32",
+                                 use_pallas=use_pallas)
+        import jax.numpy as jnp
+        from mccnn_tpu.ops import post
+        return pipe._method_jit(
+            vols, jnp.asarray(x0), jnp.asarray(x1), disp_max=D,
+            directions=(1, -1), kitti=True, L1=int(cfg.L1),
+            tau1=float(cfg.tau1), cbca_i1=int(cfg.cbca_i1),
+            cbca_i2=int(cfg.cbca_i2), pi1=float(cfg.pi1),
+            pi2=float(cfg.pi2), tau_so=float(cfg.tau_so),
+            alpha1=float(cfg.alpha1), sgm_q1=float(cfg.sgm_q1),
+            sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
+            blur_kernel=jnp.asarray(post.gaussian_kernel(cfg.blur_sigma)),
+            blur_t=float(cfg.blur_t), sm_terminate="", sm_skip="",
+            return_vols=False, sgm_pallas=use_pallas)
+
+    a = np.asarray(run(True))
+    b = np.asarray(run(False))
+    # disparities are integers + subpixel refinement; tiny numeric
+    # differences can move a WTA argmin on near-ties, so compare with a
+    # pixel-budget rather than strict allclose
+    frac_diff = float((np.abs(a - b) > 0.51).mean())
+    assert frac_diff < 0.01, f"{frac_diff:.4f} of pixels differ"
+    assert_close(a.shape, b.shape)
