@@ -44,10 +44,15 @@ def init_params(cfg: Config, seed: int | None = None):
 
 def load_params(cfg: Config):
     """Load -net_fname, or fresh-init when absent (the reference errors;
-    a random net is more useful for timing/smoke runs)."""
+    a random net is more useful for timing/smoke runs). A ``.t7`` name
+    loads a reference-format ascii checkpoint (main.lua:892-902)."""
     params = init_params(cfg)
     if params is not None and cfg.net_fname:
-        params, _, _ = checkpoint.load(cfg.net_fname, params)
+        if cfg.net_fname.endswith(".t7"):
+            from mccnn_tpu.models.import_t7 import params_from_t7
+            params, _ = params_from_t7(cfg.net_fname)
+        else:
+            params, _, _ = checkpoint.load(cfg.net_fname, params)
     elif params is not None and cfg.a in ("test_te", "test_all", "submit", "predict"):
         print("WARNING: no -net_fname given; using randomly initialized weights")
     return params

@@ -203,8 +203,9 @@ def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
                 lambda r: np.convolve(r, k, mode="same"), axis, base)
         base = (base - base.mean()) / (base.std() + 1e-6)
         d = float(rng.randint(3, disp_max - 2))
-        left = base[:, disp_max:disp_max + width]
-        right = base[:, disp_max - int(d):disp_max - int(d) + width]
+        # left pixel x matches right pixel x - d (right[x-d] == left[x])
+        left = base[:, :width]
+        right = base[:, int(d):int(d) + width]
         X0[i, 0] = left
         X1[i, 0] = right
         dispnoc[i, 0, :, :] = d
@@ -264,8 +265,9 @@ def make_synthetic_mb(out_dir: str, n_images: int = 3, height: int = 48,
                 lambda r: np.convolve(r, k, mode="same"), axis, base)
         base = (base - base.mean()) / (base.std() + 1e-6)
         d = float(rng.randint(3, disp_max - 2))
-        left = base[:, disp_max:disp_max + width]
-        right = base[:, disp_max - int(d):disp_max - int(d) + width]
+        # left pixel x matches right pixel x - d (right[x-d] == left[x])
+        left = base[:, :width]
+        right = base[:, int(d):int(d) + width]
         # light 1: 4 views (im0, im1, im1E, im1L) — brightness variants
         views = np.stack([left, right, right * 1.1, right * 0.9])[:, None]
         tofile(os.path.join(out_dir, f"x_{i}_1.bin"),

@@ -78,3 +78,33 @@ def test_fast_loss_param_grads():
 
     check(loss_from_w, np.asarray(params["tower"][0]["w"]),
           rtol=5e-2, atol=2e-3)
+
+
+def test_slow_loss_param_grads():
+    """Same check through the slow arch: BCE -> sigmoid -> FC head ->
+    conv tower (the head had no gradient coverage before — VERDICT r01
+    #7; Test.lua:71-96 pattern)."""
+    from mccnn_tpu.train.trainer import loss_fn
+
+    key = jax.random.PRNGKey(4)
+    params = towers.init_slow(key, l1=2, fm=4, ks=3, l2=2, nh2=6,
+                              n_input_plane=1)
+    rng = np.random.RandomState(5)
+    patches = jnp.asarray(rng.randn(8, 5, 5).astype(np.float32))
+    labels = jnp.asarray(np.tile([0.0, 1.0], 2).astype(np.float32))
+
+    def loss_from(leaf_path):
+        def f(x):
+            p = jax.tree.map(lambda v: v, params)
+            part, idx, name = leaf_path
+            p[part][idx][name] = x
+            return loss_fn(p, patches, labels, arch="slow", m=0.2, pow=1,
+                           dtype=jnp.float32)
+        return f
+
+    # first head matrix (the 2fm concat boundary), last head bias, and
+    # the first conv kernel (gradient must flow through the whole head)
+    for path in (("head", 0, "w"), ("head", -1, "b"), ("tower", 0, "w")):
+        part, idx, name = path
+        check(loss_from(path), np.asarray(params[part][idx][name]),
+              rtol=5e-2, atol=2e-3)

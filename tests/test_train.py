@@ -222,18 +222,56 @@ def test_checkpoint_resume_roundtrip(synth_ds, tmp_path, monkeypatch):
 
 
 def test_train_slow_arch(synth_ds):
-    """The slow/accurate arch trains end-to-end (BCE head path)."""
+    """The slow/accurate arch trains end-to-end (BCE head path): the
+    training loss must actually drop (VERDICT r01 #7)."""
     from mccnn_tpu.cli import init_params
-    from mccnn_tpu.data.datasets import load_kitti
     from mccnn_tpu.train.trainer import train
 
     cfg, ds = synth_ds
+    # shallow variant: at this synthetic scale the full-depth net's
+    # head-bias noise floor needs far more steps than a test can afford
+    # (reference trains ~50M samples; lr tuned so SGD+momentum does not
+    # blow through the loss-explosion guard)
     cfg_slow = make_config("kitti", "slow", a="train_tr",
-                           data_dir=cfg.data_dir, bs=32)
+                           data_dir=cfg.data_dir, bs=32,
+                           l1=2, l2=2, fm=16, nh2=32)
+    cfg_slow.lr = 0.01
     params = init_params(cfg_slow)
     errs = []
-    train(cfg_slow, ds, params, epochs=2,
+    train(cfg_slow, ds, params, epochs=12,
           log=lambda s: errs.append(s) if "\t" in str(s) else None)
     vals = [float(str(e).split("\t")[1]) for e in errs]
     assert all(np.isfinite(v) for v in vals)
-    assert vals[-1] < vals[0] * 1.5  # no blow-up; usually decreasing
+    assert vals[-1] < 0.55, vals  # well below the ln(2) chance floor
+
+
+@pytest.mark.parametrize("arch", ["fast", "slow"])
+def test_train_then_val_bad3(synth_ds, arch):
+    """train -> full stereo pipeline -> val bad-3px, end to end, for
+    BOTH arches (VERDICT r01 #2c). On the synthetic set (right image =
+    shifted left) near-zero error is achievable; the assert proves the
+    whole train->predict->score chain produces a sane number."""
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.pipeline import stereo_predict
+    from mccnn_tpu.train.evaluate import _eval_error
+    from mccnn_tpu.train.trainer import train
+
+    cfg0, ds = synth_ds
+    cfg = make_config(
+        "kitti", arch, a="train_tr", data_dir=cfg0.data_dir, bs=32,
+        **(dict(l1=2, l2=2, fm=16, nh2=32) if arch == "slow" else {}))
+    if arch == "slow":
+        cfg.lr = 0.01  # stable + learnable at this synthetic scale
+    params = init_params(cfg)
+    params, _ = train(cfg, ds, params, epochs=2 if arch == "fast" else 12,
+                      log=lambda s: None)
+
+    cfg.a = "test_te"
+    i = int(ds.te[0])
+    x0 = np.asarray(ds.X0[i - 1, 0])
+    x1 = np.asarray(ds.X1[i - 1, 0])
+    pred = np.asarray(stereo_predict(cfg, params, x0, x1, ds.disp_max))
+    assert not np.isnan(pred).any()
+    actual = np.asarray(ds.dispnoc[i - 1, 0])
+    err = _eval_error(pred, actual, cfg.err_at)
+    assert err < 0.05, f"{arch}: val bad-3px {err:.4f}"
