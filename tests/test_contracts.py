@@ -91,3 +91,83 @@ def test_eval_score_is_last_stdout_token(capsys):
     out = capsys.readouterr().out.strip()
     score = float(out.split()[-1])
     assert 0.0 <= score <= 1.0
+
+
+def test_hs_grids_roundtrip_parse_args():
+    """Every (dataset, arch, action) search grid proposes flags that
+    parse_args accepts with the exact proposed values (VERDICT r01 #6;
+    reference grids hs.py:14-153)."""
+    import random
+    import sys
+    sys.path.insert(0, "tools")
+    import hs
+
+    combos = [
+        ("kitti", "slow", "train_tr"), ("kitti2015", "slow", "train_tr"),
+        ("kitti", "slow", "test_te"), ("kitti", "ad", "test_te"),
+        ("kitti2015", "census", "test_te"), ("kitti", "fast", "test_te"),
+        ("mb", "slow", "train_tr"), ("kitti", "fast", "train_tr"),
+        ("mb", "fast", "train_tr"), ("mb", "fast", "test_te"),
+        ("mb", "slow", "test_te"), ("kitti", "fast", "da"),
+    ]
+    rng = random.Random(0)
+    for dataset, arch, action in combos:
+        grid = hs.grid_for(dataset, arch, action)
+        run_action = "train_tr" if action == "da" else action
+        for method in ("random", "hillclimb_slow", "hillclimb_fast",
+                       "hillclimb_dim"):
+            seed = [(0.5, {k: vs[0] for k, vs in grid})]
+            ps = hs.propose(method, grid, rng,
+                            [] if method == "random" else seed)
+            assert hs.valid(ps)
+            argv = [dataset, arch, "-a", run_action]
+            for k, _ in grid:
+                argv += [f"-{k}", str(ps[k])]
+            cfg, _tail = parse_args(argv)
+            for k, _ in grid:
+                assert float(getattr(cfg, k)) == float(ps[k]), (k, ps[k])
+
+
+def test_hs_hillclimb_recovers_best_from_log(tmp_path):
+    """Hill-climb state recovery: the proposal must be a neighbor of the
+    BEST (minimum-score) logged config for the matching
+    (dataset, arch, action) only (hs.py:159-196)."""
+    import random
+    import sys
+    sys.path.insert(0, "tools")
+    import hs
+
+    grid = hs.grid_for("kitti", "fast", "test_te")
+    best = {k: vs[len(vs) // 2] for k, vs in grid}
+    worse = {k: vs[0] for k, vs in grid}
+    other = {k: vs[-1] for k, vs in grid}
+
+    def line(score, dataset, arch, action, ps):
+        toks = [str(score), dataset, arch, action]
+        for k, _ in grid:
+            toks += [f"-{k}", str(ps[k])]
+        return " ".join(toks)
+
+    log = tmp_path / "hs_log.0"
+    log.write_text("\n".join([
+        line(0.031, "kitti", "fast", "test_te", best),
+        line(0.045, "kitti", "fast", "test_te", worse),
+        line(0.001, "kitti", "slow", "test_te", other),  # other arch
+        "garbage line",
+    ]) + "\n")
+
+    results = hs.parse_log([str(log)], "kitti", "fast", "test_te")
+    assert len(results) == 2
+    assert min(results, key=lambda r: r[0])[0] == 0.031
+
+    rng = random.Random(1)
+    for method in ("hillclimb_slow", "hillclimb_fast", "hillclimb_dim"):
+        ps = hs.propose(method, grid, rng, results)
+        # every proposed value sits on the grid; slow/fast move at most
+        # one index per dimension from the best config
+        for (k, vs), v in zip(grid, [ps[k] for k, _ in grid]):
+            i = vs.index(v) if v in vs else min(
+                range(len(vs)), key=lambda j: abs(float(vs[j]) - float(v)))
+            i0 = vs.index(best[k])
+            if method != "hillclimb_dim":
+                assert abs(i - i0) <= 1, (method, k, v, best[k])
