@@ -133,7 +133,7 @@ def action_eval(cfg: Config, tail: list[str], params=None,
             err_sum += err
             print(runtime, err)
             if cfg.debug:
-                _debug_dump(cfg, img_id, pred, actual, disp_max)
+                _debug_dump(cfg, img_id, pred, actual, x0, disp_max)
 
     if cfg.a == "submit":
         zname = "out/submission.zip"
@@ -145,14 +145,42 @@ def action_eval(cfg: Config, tail: list[str], params=None,
         print(err_sum / len(examples))
 
 
-def _debug_dump(cfg: Config, img_id, pred, actual, disp_max) -> None:
-    """Jet-colormap debug PNGs into tmp/ (main.lua:1240-1284)."""
+def _debug_dump(cfg: Config, img_id, pred, actual, x0, disp_max) -> None:
+    """The -debug triple into tmp/ (main.lua:1240-1266):
+
+    - ``<dataset>_<id>_gt.png``: jet((gt+1)/disp_max), blue channel
+      gated by the GT-valid mask (main.lua:1259-1261)
+    - ``<dataset>_<arch>_<id>_pred.png``: jet((pred+1)/disp_max)
+    - ``<dataset>_<arch>_<id>_err.png``: desaturated x0 with bad
+      (>err_at) pixels pushed red and good pixels pushed green at
+      weight 0.5 (main.lua:1246-1252)
+    """
     from PIL import Image
 
     from mccnn_tpu.utils.images import grey2jet
 
+    def save(path, rgb):
+        Image.fromarray(
+            (np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(path)
+
+    pred = np.asarray(pred)
+    actual = np.asarray(actual)
+    mask = actual != 0
+    diff = np.abs(actual - pred)
+    bad = ((diff > cfg.err_at) & mask).astype(np.float32)
+    good = ((diff <= cfg.err_at) & mask).astype(np.float32)
+
+    img_err = np.repeat(((np.asarray(x0) * 50 + 150) / 255)[..., None],
+                        3, axis=-1)
+    img_err[..., 0] += 0.5 * bad - 0.5 * good
+    img_err[..., 1] += 0.5 * good - 0.5 * bad
+    img_err[..., 2] -= 0.5 * (bad + good)
+
+    img_gt = grey2jet((actual + 1) / disp_max)
+    img_gt[..., 2] *= mask
+
     os.makedirs("tmp", exist_ok=True)
-    for tag, arr in (("pred", pred), ("gt", actual)):
-        img = grey2jet((np.asarray(arr) + 1) / disp_max)
-        Image.fromarray((img * 255).astype(np.uint8)).save(
-            f"tmp/{cfg.dataset}_{cfg.arch}_{img_id}_{tag}.png")
+    save(f"tmp/{cfg.dataset}_{img_id}_gt.png", img_gt)
+    save(f"tmp/{cfg.dataset}_{cfg.arch}_{img_id}_pred.png",
+         grey2jet((pred + 1) / disp_max))
+    save(f"tmp/{cfg.dataset}_{cfg.arch}_{img_id}_err.png", img_err)

@@ -36,3 +36,15 @@ def grey2jet(x: np.ndarray) -> np.ndarray:
     g = np.clip(np.minimum(x - 0.5, -x + 3.5), 0, 1)
     b = np.clip(np.minimum(x + 0.5, -x + 2.5), 0, 1)
     return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
+def save_outlier(fname: str, x0: np.ndarray, outlier: np.ndarray) -> None:
+    """Outlier-map visualization (main.lua:507-525): grayscale x0 with
+    occluded pixels (outlier==1) painted green and mismatched pixels
+    (outlier==2) painted red."""
+    img = np.repeat(np.asarray(x0, np.float32)[..., None], 3, axis=-1)
+    occ = outlier == 1
+    mis = outlier == 2
+    img[occ] = (0.0, 1.0, 0.0)
+    img[mis] = (1.0, 0.0, 0.0)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(fname)

@@ -171,3 +171,50 @@ def test_hs_hillclimb_recovers_best_from_log(tmp_path):
             i0 = vs.index(best[k])
             if method != "hillclimb_dim":
                 assert abs(i - i0) <= 1, (method, k, v, best[k])
+
+
+def test_debug_artifact_triple(tmp_path, monkeypatch):
+    """-debug writes the gt/pred/err triple with the reference's names
+    and overlay semantics (main.lua:1240-1266)."""
+    import os
+    from PIL import Image
+    from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
+    from mccnn_tpu.train.evaluate import action_eval
+
+    d = tmp_path / "data"
+    make_synthetic_kitti(str(d / "data.kitti"), n_images=2, height=40,
+                         width=80, disp_max=8)
+    monkeypatch.chdir(tmp_path)  # tmp/ artifacts land here
+    cfg = make_config("kitti", "ad", a="test_te", data_dir=str(d), debug=1)
+    ds = load_kitti(cfg)
+    ds.disp_max = 8
+    action_eval(cfg, [], params=None, ds=ds)
+
+    img_id = int(ds.te[0]) - 1
+    gt = tmp_path / "tmp" / f"kitti_{img_id}_gt.png"
+    pred = tmp_path / "tmp" / f"kitti_ad_{img_id}_pred.png"
+    err = tmp_path / "tmp" / f"kitti_ad_{img_id}_err.png"
+    for f in (gt, pred, err):
+        assert f.exists(), f
+        assert Image.open(f).size == (80, 40)
+    # the synthetic pair matches almost perfectly -> the err overlay is
+    # green-shifted (good pixels: G gets +0.5, R and B get -0.5)
+    e = np.asarray(Image.open(err), np.float32)
+    assert e[..., 1].mean() > e[..., 0].mean() + 50
+    assert e[..., 1].mean() > e[..., 2].mean() + 50
+
+
+def test_save_outlier_colors(tmp_path):
+    from PIL import Image
+    from mccnn_tpu.utils.images import save_outlier
+
+    x0 = np.full((8, 10), 0.5, np.float32)
+    outlier = np.zeros((8, 10), np.int32)
+    outlier[2, 3] = 1  # occlusion -> green
+    outlier[5, 7] = 2  # mismatch -> red
+    f = str(tmp_path / "o.png")
+    save_outlier(f, x0, outlier)
+    img = np.asarray(Image.open(f))
+    assert tuple(img[2, 3]) == (0, 255, 0)
+    assert tuple(img[5, 7]) == (255, 0, 0)
+    assert tuple(img[0, 0]) == (127, 127, 127)
