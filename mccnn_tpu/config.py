@@ -114,6 +114,13 @@ class Config:
     checkpoint_every: int = 0  # mid-train checkpointing (0 = reference behavior)
     resume: str = ""  # resume training from a checkpoint directory
     num_devices: int = 0  # 0 = all visible devices (data-parallel training)
+    # shape bucketing for variable-size (Middlebury) eval: images are
+    # edge-padded up to multiples of bucket_hw and disp_max up to
+    # multiples of bucket_d so XLA recompiles once per bucket instead of
+    # once per image (padded disparities are NaN-masked, the output is
+    # cropped back). -1 = auto (64/64 on mb, off elsewhere); 0/1 = off.
+    bucket_hw: int = -1
+    bucket_d: int = -1
 
     def validate(self) -> "Config":
         assert self.dataset in DATASETS, self.dataset

@@ -73,9 +73,10 @@ def _active_after(terminate: str, stage: str) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("arch", "disp_max", "ws",
-                                             "dtype_name", "use_pallas"))
+                                             "dtype_name", "use_pallas",
+                                             "disp_true"))
 def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
-                 use_pallas=None):
+                 use_pallas=None, disp_true=None):
     """Cost volumes for both reference directions
     (main.lua:932-951, 958-987). Returns {-1: vol, +1: vol}.
 
@@ -84,15 +85,32 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
     single-device program, so under GSPMD the einsum formulation (which
     XLA can partition) is used instead — same escape hatch as the SGM
     sweeps (parallel/inference.py).
+
+    ``disp_true`` (shape bucketing): when disp_max was padded up to a
+    compile bucket, planes d >= disp_true get a large finite cost. A
+    large sentinel (not NaN: the CBCA mean would zero it) is stable
+    through every stage — CBCA averages it to itself, the SGM min-plus
+    recurrence never selects it, WTA never picks it. The one residual
+    effect: pixels whose winner is exactly disp_true-1 see a huge
+    cost at d+1 and get a clamped -0.5 subpixel shift where the
+    exact-shape run's bounds guard would keep d.
     """
     dtype = jnp.dtype(dtype_name)
     D = disp_max
+
+    def mask_pad(vols):
+        if disp_true is not None and disp_true < D:
+            ds_idx = jnp.arange(D)[:, None, None]
+            vols = {k: jnp.where(ds_idx < disp_true, v, 1e9)
+                    for k, v in vols.items()}
+        return vols
+
     if arch == "ad":
-        return {-1: costs.ad_volume(x0, x1, D, -1),
-                1: costs.ad_volume(x1, x0, D, 1)}
+        return mask_pad({-1: costs.ad_volume(x0, x1, D, -1),
+                         1: costs.ad_volume(x1, x0, D, 1)})
     if arch == "census":
-        return {-1: costs.census_volume(x0, x1, D, -1),
-                1: costs.census_volume(x1, x0, D, 1)}
+        return mask_pad({-1: costs.census_volume(x0, x1, D, -1),
+                         1: costs.census_volume(x1, x0, D, 1)})
     if arch == "fast":
         feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                    arch="fast", padding="SAME", dtype=dtype)
@@ -107,8 +125,8 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
     else:
         raise ValueError(arch)
     n = (ws - 1) // 2
-    return {-1: costs.fix_border(vol_l, -1, n),
-            1: costs.fix_border(vol_r, 1, n)}
+    return mask_pad({-1: costs.fix_border(vol_l, -1, n),
+                     1: costs.fix_border(vol_r, 1, n)})
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -185,7 +203,7 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
 
 
 def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
-                    pair_id=None):
+                    pair_id=None, disp_true=None):
     """Cost volumes with the reference's second cache tier
     (main.lua:959-982): with ``-use_cache`` volumes are loaded from
     ``cache/<id>.npz`` when present; ``-make_cache`` writes them after
@@ -203,7 +221,8 @@ def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
         return {-1: jnp.asarray(z["vol_m1"]), 1: jnp.asarray(z["vol_p1"])}
     vols = _volumes_jit(params, jnp.asarray(x0), jnp.asarray(x1),
                         arch=cfg.arch, disp_max=int(disp_max), ws=cfg.ws,
-                        dtype_name=cfg.dtype)
+                        dtype_name=cfg.dtype,
+                        disp_true=None if disp_true is None else int(disp_true))
     if cache_f and cfg.make_cache:
         os.makedirs("cache", exist_ok=True)
         np.savez(cache_f, vol_m1=np.asarray(vols[-1]),
@@ -212,20 +231,23 @@ def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
 
 
 def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
-                   return_vols: bool = False, pair_id=None):
+                   return_vols: bool = False, pair_id=None,
+                   disp_true=None):
     """Run the full stereo method on one standardized pair.
 
     x0/x1: (H, W) float32 (already per-image standardized). Returns the
     left-reference disparity map (H, W) float32; with return_vols also
     the final left and right cost volumes (for predict-mode .bin dumps
-    and debugging, main.lua:1042-1047).
+    and debugging, main.lua:1042-1047). ``disp_true``: see _volumes_jit
+    (shape bucketing).
     """
     if cfg.dataset == "mb":
         directions = (1, -1) if cfg.a == "predict" else (-1,)
     else:
         directions = (1, -1)
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
-    vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id)
+    vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id,
+                           disp_true=disp_true)
     return _method_jit(
         vols, jnp.asarray(x0), jnp.asarray(x1),
         disp_max=int(disp_max), directions=directions,
