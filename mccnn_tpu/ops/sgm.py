@@ -228,7 +228,7 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
 
 def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                         D, rev_base, pi1, pi2, tau_so, alpha1, q1, q2,
-                        sgm_dir):
+                        sgm_dir, St=256, acc=None):
     """Horizontal streaming sweep with slab-resident penalties.
 
     The horizontal sweeps' D2 table is, per step x, a lane-contiguous
@@ -239,25 +239,37 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
     streams, roughly halving the sweep's DMA traffic vs
     :func:`_sweep_stream`.
 
-    vol_s: (T, Sp, Dp) already padded and in sweep order.
+    vol_s: (T, Sp, Dp) already padded, in NATURAL step order.
     d1_slab: (Sp, WL) per-scanline |x0 gradient| rows, lane x = step x.
     g_slab: (Sp, GL) per-scanline D2 rows (reversed rows for the first
     ``n_rev_tiles`` scanline tiles).
-    reverse_steps: sweep runs x = T-1-t (the <- sweep).
+    reverse_steps: the sweep runs x = T-1-t — the DMAs index x
+    directly, so the <- sweep needs no reversal copies of the volume
+    or the result.
+    St: scanline tile (pick to minimize Sp padding; must divide Sp).
+    acc: optional (T, Sp, Dp) accumulator — the kernel streams it in
+    and writes val + acc (aliased in-place), so summing the sweeps
+    needs no separate XLA add/transpose passes.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, Sp, Dp = vol_s.shape
-    St = 256
     assert Sp % St == 0
     WL = d1_slab.shape[1]
     GL = g_slab.shape[1]
     p1a_div = alpha1 if sgm_dir == 2 else 1.0
     p1b_div = alpha1 if sgm_dir == 3 else 1.0
+    with_acc = acc is not None
 
-    def kernel(vol_hbm, d1_hbm, g_hbm, out_hbm, vol_b, out_b, prev,
-               d1_v, g_v, in_sems, out_sems, slab_sems):
+    def kernel(*refs):
+        if with_acc:
+            (vol_hbm, d1_hbm, g_hbm, acc_hbm, out_hbm, vol_b, acc_b,
+             out_b, prev, d1_v, g_v, in_sems, acc_sems, out_sems,
+             slab_sems) = refs
+        else:
+            (vol_hbm, d1_hbm, g_hbm, out_hbm, vol_b, out_b, prev,
+             d1_v, g_v, in_sems, out_sems, slab_sems) = refs
         s = pl.program_id(0)
         cp_d1 = pltpu.make_async_copy(
             d1_hbm.at[pl.ds(s * St, St), :], d1_v, slab_sems.at[0])
@@ -266,17 +278,26 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
         cp_d1.start()
         cp_g.start()
 
+        def step_x(t):
+            return (T - 1 - t) if reverse_steps else t
+
         def in_dma(slot, t):
-            return pltpu.make_async_copy(
-                vol_hbm.at[t, pl.ds(s * St, St), :], vol_b.at[slot],
-                in_sems.at[slot])
+            dmas = [pltpu.make_async_copy(
+                vol_hbm.at[step_x(t), pl.ds(s * St, St), :], vol_b.at[slot],
+                in_sems.at[slot])]
+            if with_acc:
+                dmas.append(pltpu.make_async_copy(
+                    acc_hbm.at[step_x(t), pl.ds(s * St, St), :],
+                    acc_b.at[slot], acc_sems.at[slot]))
+            return dmas
 
         def out_dma(slot, t):
             return pltpu.make_async_copy(
-                out_b.at[slot], out_hbm.at[t, pl.ds(s * St, St), :],
+                out_b.at[slot], out_hbm.at[step_x(t), pl.ds(s * St, St), :],
                 out_sems.at[slot])
 
-        in_dma(0, 0).start()
+        for d in in_dma(0, 0):
+            d.start()
         cp_d1.wait()
         cp_g.wait()
         is_rev = s < n_rev_tiles
@@ -287,22 +308,27 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
 
             @pl.when(t + 1 < T)
             def _():
-                in_dma(nxt, t + 1).start()
-            in_dma(slot, t).wait()
+                for d in in_dma(nxt, t + 1):
+                    d.start()
+            for d in in_dma(slot, t):
+                d.wait()
             vol = vol_b[slot]
 
             @pl.when(t > 1)
             def _():
                 out_dma(slot, t - 2).wait()
 
+            def emit(val):
+                out_b[slot] = (val + acc_b[slot]) if with_acc else val
+                prev[:] = val
+
             @pl.when(t == 0)
             def _():
-                out_b[slot] = vol
-                prev[:] = vol
+                emit(vol)
 
             @pl.when(t > 0)
             def _():
-                x = (T - 1 - t) if reverse_steps else t
+                x = step_x(t)
                 p = prev[:]
                 pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
                              keepdims=True)
@@ -324,9 +350,7 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                 cost = jnp.fmin(p, pm + P2)
                 cost = jnp.fmin(cost, up + P1 / p1a_div)
                 cost = jnp.fmin(cost, dn + P1 / p1b_div)
-                val = vol + cost - pm
-                out_b[slot] = val
-                prev[:] = val
+                emit(vol + cost - pm)
             out_dma(slot, t).start()
             return 0
 
@@ -337,24 +361,215 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
         def _():
             out_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
 
+    scratch = [
+        pltpu.VMEM((2, St, Dp), vol_s.dtype),               # vol_b
+    ] + ([pltpu.VMEM((2, St, Dp), vol_s.dtype)] if with_acc else []) + [
+        pltpu.VMEM((2, St, Dp), vol_s.dtype),               # out_b
+        pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
+        pltpu.VMEM((St, WL), vol_s.dtype),                  # d1 slab
+        pltpu.VMEM((St, GL), vol_s.dtype),                  # g slab
+        pltpu.SemaphoreType.DMA((2,)),                      # in_sems
+    ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + [
+        pltpu.SemaphoreType.DMA((2,)),                      # out_sems
+        pltpu.SemaphoreType.DMA((2,)),                      # slab_sems
+    ]
+    operands = [vol_s, d1_slab, g_slab] + ([acc] if with_acc else [])
     out = pl.pallas_call(
         kernel,
         grid=(Sp // St,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, St, Dp), vol_s.dtype),
-            pltpu.VMEM((2, St, Dp), vol_s.dtype),
-            pltpu.VMEM((St, Dp), vol_s.dtype),
-            pltpu.VMEM((St, WL), vol_s.dtype),
-            pltpu.VMEM((St, GL), vol_s.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
+        input_output_aliases={3: 0} if with_acc else {},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(vol_s, d1_slab, g_slab)
+    )(*operands)
+    return out
+
+
+def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
+                        reverse_steps, D, pi1, pi2, tau_so, alpha1, q1, q2,
+                        sgm_dir, St=256, acc=None):
+    """Vertical streaming sweep with shear-built penalties.
+
+    The vertical sweeps' D2[y, x, d] = g[y, x + d*direction + D] is,
+    per step y, a SHEARED read of one gradient row: scanline x needs
+    lanes [x+D, x+D+Dp). Instead of materializing the (H, W, D)
+    sheared table with an XLA gather and streaming it (the round-1
+    formulation: the gather build alone cost ~as much as the sweep),
+    each tile DMAs its (T, Lw) lane-window of the gradient rows ONCE
+    and builds the (St, Dp) block per step with a log-step per-sublane
+    shear (8 roll+selects on the VPU). Scanlines of reversed-lookup
+    tiles (reference direction -1) are stored x-reversed in vol_s,
+    which makes both tile classes shear identically — their row is
+    lane-reversed instead: g_nat[x-d+D] == rev(g_nat)[D+x'+d] at
+    x' = W-1-x, so the per-tile window offset D + s_local*St + xi is
+    shared.
+
+    vol_s: (T, Sp, Dp) padded NaN, natural step order (T = H).
+    d1_slab: (Sp, HL) per-scanline |dy-gradient| rows, lane y = step y
+    (x-reversed rows for the first ``n_rev_tiles`` tiles).
+    g_rev/g_nat: (T, GL) per-step gradient rows, lane-reversed /
+    natural. GL >= D + Sp_per_dir + Dp + 256.
+    reverse_steps/St/acc: as in :func:`_sweep_stream_hslab`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, Sp, Dp = vol_s.shape
+    assert Sp % St == 0
+    HL = d1_slab.shape[1]
+    Tg = g_rev.shape[0]  # T padded to a sublane multiple (8) by caller
+    assert Tg % 8 == 0 and Tg >= T
+    Lw = -(-(St + Dp + 128) // 128) * 128
+    p1a_div = alpha1 if sgm_dir == 2 else 1.0
+    p1b_div = alpha1 if sgm_dir == 3 else 1.0
+    with_acc = acc is not None
+
+    def kernel(*refs):
+        if with_acc:
+            (vol_hbm, d1_hbm, grev_hbm, gnat_hbm, acc_hbm, out_hbm, vol_b,
+             acc_b, out_b, prev, d1_v, g_v, in_sems, acc_sems, out_sems,
+             slab_sems) = refs
+        else:
+            (vol_hbm, d1_hbm, grev_hbm, gnat_hbm, out_hbm, vol_b, out_b,
+             prev, d1_v, g_v, in_sems, out_sems, slab_sems) = refs
+        s = pl.program_id(0)
+        is_rev = s < n_rev_tiles
+        s_local = jnp.where(is_rev, s, s - n_rev_tiles)
+        base = D + s_local * St
+        base_al = pl.multiple_of((base // 128) * 128, 128)
+        rem = base - base_al
+
+        cp_d1 = pltpu.make_async_copy(
+            d1_hbm.at[pl.ds(s * St, St), :], d1_v, slab_sems.at[0])
+        cp_gr = pltpu.make_async_copy(
+            grev_hbm.at[:, pl.ds(base_al, Lw)], g_v.at[0], slab_sems.at[1])
+        cp_gn = pltpu.make_async_copy(
+            gnat_hbm.at[:, pl.ds(base_al, Lw)], g_v.at[1], slab_sems.at[2])
+        cp_d1.start()
+        cp_gr.start()
+        cp_gn.start()
+
+        def step_y(t):
+            return (T - 1 - t) if reverse_steps else t
+
+        def in_dma(slot, t):
+            y = step_y(t)
+            dmas = [pltpu.make_async_copy(
+                vol_hbm.at[y, pl.ds(s * St, St), :], vol_b.at[slot],
+                in_sems.at[slot])]
+            if with_acc:
+                dmas.append(pltpu.make_async_copy(
+                    acc_hbm.at[y, pl.ds(s * St, St), :], acc_b.at[slot],
+                    acc_sems.at[slot]))
+            return dmas
+
+        def out_dma(slot, t):
+            return pltpu.make_async_copy(
+                out_b.at[slot], out_hbm.at[step_y(t), pl.ds(s * St, St), :],
+                out_sems.at[slot])
+
+        for d in in_dma(0, 0):
+            d.start()
+        cp_d1.wait()
+        cp_gr.wait()
+        cp_gn.wait()
+
+        def body(t, _):
+            slot = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < T)
+            def _():
+                for d in in_dma(nxt, t + 1):
+                    d.start()
+            for d in in_dma(slot, t):
+                d.wait()
+            vol = vol_b[slot]
+
+            @pl.when(t > 1)
+            def _():
+                out_dma(slot, t - 2).wait()
+
+            def emit(val):
+                out_b[slot] = (val + acc_b[slot]) if with_acc else val
+                prev[:] = val
+
+            @pl.when(t == 0)
+            def _():
+                emit(vol)
+
+            @pl.when(t > 0)
+            def _():
+                y = step_y(t)
+                p = prev[:]
+                pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
+                             keepdims=True)
+                # step row y of this tile's class window, selected with
+                # a masked sublane reduce (dynamic single-sublane reads
+                # are not DMA-tileable)
+                cls = jnp.where(is_rev, 0, 1)
+                gw = g_v[pl.ds(cls, 1)][0]  # (Tg, Lw)
+                ys = jax.lax.broadcasted_iota(jnp.int32, (Tg, Lw), 0)
+                win = jnp.sum(jnp.where(ys == y, gw, 0.0), axis=0,
+                              keepdims=True)  # (1, Lw)
+                # shear: row xi needs a left-roll by rem + xi — scalar
+                # part first, then the log-step per-sublane shear
+                M = jnp.broadcast_to(win, (St, Lw))
+                M = pltpu.roll(M, Lw - rem, axis=1)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (St, Lw), 0)
+                k = 1
+                while k < St:
+                    M = jnp.where((sub & k) != 0,
+                                  pltpu.roll(M, Lw - k, axis=1), M)
+                    k *= 2
+                D2 = M[:, :Dp]
+                y_al = pl.multiple_of((y // 128) * 128, 128)
+                dwin = d1_v[:, pl.ds(y_al, 128)]
+                D1 = pltpu.roll(dwin, 128 - (y - y_al), axis=1)[:, :1]
+                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
+                dn = jnp.where(lane == D - 1, _BIG,
+                               pltpu.roll(p, Dp - 1, axis=1))
+                cost = jnp.fmin(p, pm + P2)
+                cost = jnp.fmin(cost, up + P1 / p1a_div)
+                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                emit(vol + cost - pm)
+            out_dma(slot, t).start()
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        out_dma(jax.lax.rem(T - 1, 2), T - 1).wait()
+
+        @pl.when(T > 1)
+        def _():
+            out_dma(jax.lax.rem(T - 2, 2), T - 2).wait()
+
+    scratch = [
+        pltpu.VMEM((2, St, Dp), vol_s.dtype),               # vol_b
+    ] + ([pltpu.VMEM((2, St, Dp), vol_s.dtype)] if with_acc else []) + [
+        pltpu.VMEM((2, St, Dp), vol_s.dtype),               # out_b
+        pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
+        pltpu.VMEM((St, HL), vol_s.dtype),                  # d1 slab
+        pltpu.VMEM((2, Tg, Lw), vol_s.dtype),               # g windows
+        pltpu.SemaphoreType.DMA((2,)),                      # in_sems
+    ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + [
+        pltpu.SemaphoreType.DMA((2,)),                      # out_sems
+        pltpu.SemaphoreType.DMA((3,)),                      # slab_sems
+    ]
+    operands = [vol_s, d1_slab, g_rev, g_nat] + ([acc] if with_acc else [])
+    out = pl.pallas_call(
+        kernel,
+        grid=(Sp // St,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
+        scratch_shapes=scratch,
+        input_output_aliases={4: 0} if with_acc else {},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*operands)
     return out
 
 
@@ -470,6 +685,102 @@ def _d2_columns(x1, dx, dy, direction, D):
     return jnp.pad(g, ((0, 0), (D, D)), constant_values=10.0)
 
 
+def _pick_st(n: int) -> int:
+    """Scanline tile minimizing pad-to-multiple waste (largest tile on
+    ties). Sublane tiles must be multiples of 8; 128..256 keeps DMA
+    blocks efficient."""
+    best = None
+    for st in range(128, 257, 8):
+        key = (-(-n // st) * st, -st)
+        if best is None or key < best[0]:
+            best = (key, st)
+    return best[1]
+
+
+def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
+    """All four sweeps on the slab kernels with in-kernel accumulation.
+
+    Per family (horizontal, vertical) the volume is laid out ONCE in
+    the family's sweep order; the backward sweep indexes steps in
+    reverse inside the kernel (no reversal copies) and streams the
+    forward sweep's result back in, writing the sum in place (no XLA
+    add/transpose passes). One fused transpose-add per reference
+    direction combines the two family accumulators at the end.
+    """
+    n = len(dirs)
+    Dp = -(-D // 128) * 128
+
+    # ---- horizontal family (sgm_dir 0: ->, 1: <-) -----------------------
+    St_h = _pick_st(H)
+    Hp = -(-H // St_h) * St_h
+    GL = -(-(W + D + Dp + 128) // 128) * 128
+    WLp = -(-W // 128) * 128
+    n_rev_h = (Hp // St_h) if (-1 in dirs) else 0
+    vol_x = jnp.concatenate(
+        [jnp.pad(jnp.transpose(vols[d], (2, 1, 0)),
+                 ((0, 0), (0, Hp - H), (0, Dp - D)),
+                 constant_values=jnp.nan) for d in dirs],
+        axis=1)  # (W, n*Hp, Dp)
+    acc_h = None
+    for sgm_dir, dx in ((0, 1), (1, -1)):
+        d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W)
+        d1p = jnp.pad(d1, ((0, Hp - H), (0, WLp - W)))
+        d1_slab = jnp.concatenate([d1p] * n, axis=0)
+        g0 = _d2_columns(x1, dx, 0, 1, D)  # (H, W+2D), dir-agnostic
+        slabs = []
+        for direction in dirs:
+            core = g0[:, ::-1] if direction < 0 else g0
+            slabs.append(jnp.pad(
+                core, ((0, Hp - H), (0, GL - core.shape[1])),
+                constant_values=10.0))
+        g_slab = jnp.concatenate(slabs, axis=0)
+        acc_h = _sweep_stream_hslab(
+            vol_x, d1_slab, g_slab, n_rev_h, dx == -1, D, W + D - 1,
+            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_h, acc=acc_h)
+
+    # ---- vertical family (sgm_dir 2: v, 3: ^) ---------------------------
+    St_v = _pick_st(W)
+    Wp = -(-W // St_v) * St_v
+    GLv = -(-(D + Wp + Dp + 256) // 128) * 128
+    HL = -(-H // 128) * 128
+    n_rev_v = (Wp // St_v) if (-1 in dirs) else 0
+    parts = []
+    for d in dirs:
+        v = jnp.transpose(vols[d], (1, 2, 0))  # (H, W, D)
+        if d == -1:
+            v = v[:, ::-1, :]  # rev tiles store x reversed (see vslab)
+        parts.append(jnp.pad(v, ((0, 0), (0, Wp - W), (0, Dp - D)),
+                             constant_values=jnp.nan))
+    vol_y = jnp.concatenate(parts, axis=1)  # (H, n*Wp, Dp)
+    acc_v = None
+    for sgm_dir, dy in ((2, 1), (3, -1)):
+        d1 = _grad_with_sentinel(x0, axis=0, step=dy).T  # (W, H): lane y
+        d1_parts = []
+        for d in dirs:
+            rows = d1[::-1] if d == -1 else d1
+            d1_parts.append(jnp.pad(rows, ((0, Wp - W), (0, HL - H))))
+        d1_slab = jnp.concatenate(d1_parts, axis=0)  # (n*Wp, HL)
+        core = jnp.pad(jnp.abs(x1 - jnp.roll(x1, dy, axis=0)),
+                       ((0, 0), (D, D)), constant_values=10.0)  # (H, W+2D)
+        Hp8 = -(-H // 8) * 8  # DMA sublane alignment (rows > H unused)
+        nat = jnp.pad(core, ((0, Hp8 - H), (0, GLv - core.shape[1])),
+                      constant_values=10.0)
+        rev = jnp.pad(core[:, ::-1], ((0, Hp8 - H), (0, GLv - core.shape[1])),
+                      constant_values=10.0)
+        acc_v = _sweep_stream_vslab(
+            vol_y, d1_slab, rev, nat, n_rev_v, dy == -1, D,
+            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_v, acc=acc_v)
+
+    outs = {}
+    for i, d in enumerate(dirs):
+        vsl = acc_v[:, i * Wp:i * Wp + W, :D]
+        if d == -1:
+            vsl = vsl[:, ::-1, :]
+        outs[d] = (jnp.transpose(acc_h[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
+                   + jnp.transpose(vsl, (2, 0, 1)))
+    return outs
+
+
 def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
                sgm_q2, use_pallas):
     """Four sweeps, summed, for one OR both reference directions at once.
@@ -481,83 +792,47 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
     set of sweeps instead of two (the serialized sweep steps are the
     pipeline's critical path).
     """
-    sweep = _sweep_pallas if (_pallas_default() if use_pallas is None
-                              else use_pallas) else _sweep
+    pallas = _pallas_default() if use_pallas is None else use_pallas
+    sweep = _sweep_pallas if pallas else _sweep
     dirs = sorted(vols)
     D, H, W = vols[dirs[0]].shape
     q1, q2 = sgm_q1, sgm_q2
     ds = jnp.arange(D)
     n = len(dirs)
 
+    # slab variant (default on TPU): oracle-validated; opt out with
+    # MCCNN_SGM_HSLAB=0
+    if (pallas and _pallas_default()
+            and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"):
+        return _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
+                         alpha1, q1, q2)
+
     outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
 
     # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
-    # slab-penalty variant (default on TPU): oracle-validated, ~19%
-    # faster end-to-end; opt out with MCCNN_SGM_HSLAB=0
-    hslab = (os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
-             and (use_pallas if use_pallas is not None
-                  else _pallas_default()) and _pallas_default())
-    if hslab:
-        # slab-resident penalties: D2 per step x is a lane slice of a
-        # per-scanline gradient slab (reversed rows for direction -1),
-        # D1 a width-1 slice — only the volume streams during the sweep
-        St = 256
-        Dp = -(-D // 128) * 128
-        Hp = -(-H // St) * St
-        GL = -(-(W + D + Dp + 128) // 128) * 128
-        WLp = -(-W // 128) * 128
-        n_rev = (Hp // St) if (-1 in dirs) else 0
-        vol_x = jnp.concatenate(
-            [jnp.pad(jnp.transpose(vols[d], (2, 1, 0)),
-                     ((0, 0), (0, Hp - H), (0, Dp - D)),
-                     constant_values=jnp.nan) for d in dirs],
-            axis=1)  # (W, n*Hp, Dp)
-        for sgm_dir, dx in ((0, 1), (1, -1)):
-            d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W)
-            d1p = jnp.pad(d1, ((0, Hp - H), (0, WLp - W)))
-            d1_slab = jnp.concatenate([d1p] * n, axis=0)
-            g0 = _d2_columns(x1, dx, 0, 1, D)  # (H, W+2D), dir-agnostic
-            slabs = []
-            for direction in dirs:
-                core = g0[:, ::-1] if direction < 0 else g0
-                slabs.append(jnp.pad(
-                    core, ((0, Hp - H), (0, GL - core.shape[1])),
-                    constant_values=10.0))
-            g_slab = jnp.concatenate(slabs, axis=0)
-            rev_steps = dx == -1
-            vol_in = vol_x[::-1] if rev_steps else vol_x
-            res = _sweep_stream_hslab(
-                vol_in, d1_slab, g_slab, n_rev, rev_steps, D, W + D - 1,
-                pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)
-            if rev_steps:
-                res = res[::-1]
-            for i, d in enumerate(dirs):
-                outs[d] = outs[d] + jnp.transpose(
-                    res[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
-    else:
-        vol_x = jnp.concatenate(
-            [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs],
-            axis=1)  # (W, nH, D)
-        for sgm_dir, dx in ((0, 1), (1, -1)):
-            d1 = _grad_with_sentinel(x0, axis=1, step=dx).T  # (W, H)
-            d1s = jnp.concatenate([d1] * n, axis=1)          # (W, nH)
-            d2_parts = []
-            for direction in dirs:
-                d2col = _d2_columns(x1, dx, 0, direction, D)  # (H, W+2D)
-                starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
-                d2_all = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(
-                        d2col, (0, s), (H, D)))(starts)
-                if direction < 0:
-                    d2_all = d2_all[..., ::-1]
-                d2_parts.append(d2_all)
-            d2s = jnp.concatenate(d2_parts, axis=1)          # (W, nH, D)
-            order = slice(None) if dx == 1 else slice(None, None, -1)
-            res = sweep(vol_x[order], d1s[order], d2s[order],
-                        pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
-            for i, d in enumerate(dirs):
-                outs[d] = outs[d] + jnp.transpose(
-                    res[:, i * H:(i + 1) * H], (2, 1, 0))
+    vol_x = jnp.concatenate(
+        [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs],
+        axis=1)  # (W, nH, D)
+    for sgm_dir, dx in ((0, 1), (1, -1)):
+        d1 = _grad_with_sentinel(x0, axis=1, step=dx).T  # (W, H)
+        d1s = jnp.concatenate([d1] * n, axis=1)          # (W, nH)
+        d2_parts = []
+        for direction in dirs:
+            d2col = _d2_columns(x1, dx, 0, direction, D)  # (H, W+2D)
+            starts = jnp.arange(W) + D + (0 if direction > 0 else -(D - 1))
+            d2_all = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    d2col, (0, s), (H, D)))(starts)
+            if direction < 0:
+                d2_all = d2_all[..., ::-1]
+            d2_parts.append(d2_all)
+        d2s = jnp.concatenate(d2_parts, axis=1)          # (W, nH, D)
+        order = slice(None) if dx == 1 else slice(None, None, -1)
+        res = sweep(vol_x[order], d1s[order], d2s[order],
+                    pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir)[order]
+        for i, d in enumerate(dirs):
+            outs[d] = outs[d] + jnp.transpose(
+                res[:, i * H:(i + 1) * H], (2, 1, 0))
 
     # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
     vol_y = jnp.concatenate(
