@@ -2,24 +2,38 @@
 
 Behavior contract: the ``StereoJoin`` kernel (adcensus.cu:1455-1498):
 ``vol_L[d, y, x] = -<fl[y, x, :], fr[y, x-d, :]>`` and
-``vol_R[d, y, x] = -<fr[y, x, :], fl[y, x+d, :]>``.
+``vol_R[d, y, x] = -<fr[y, x, :], fl[y, x+d, :]>``, NaN where the
+match pixel leaves the frame, plus the ``fix_border`` column
+replication of main.lua:922-927.
 
 TPU-native design: the naive per-disparity contraction re-reads both
 feature maps from HBM once per disparity (~D x 2 x H x W x C floats —
 around 100 GB for KITTI), which makes the CNN stage the slowest part
-of the whole pipeline. Here each (row, 128-column tile) grid step:
+of the whole pipeline. Here each (row-block, 128-column tile) grid
+step:
 
-1. DMAs the row's feature tile (XB, C) and a (XB + D - 1 -> SLAB, C)
+1. DMAs the row's feature tile (XB, C) and a (XB + Dp -> SLAB, C)
    match-side slab into VMEM,
 2. computes the banded Gram block B = tile @ slab^T as ONE MXU matmul
    (the only place the FLOPs live),
 3. extracts the D needed diagonals with a shear — row i circularly
-   rolled by i, done as log2(SLAB) masked power-of-two rolls — after
-   which diagonals are columns,
-4. writes the (D, XB) volume block.
+   rolled by i, done as log2(XB) masked power-of-two rolls — after
+   which diagonal d IS lane d: the (XB, Dp) result is the (x, d)
+   output block directly,
+4. masks out-of-frame cells to NaN, negates, applies fix_border, and
+   writes the (XB, Dp) block in place.
 
-Feature maps are read once, the volume written once: ~1 GB of traffic
-instead of ~100 GB.
+Feature maps are read once, the volume written once (~1 GB of traffic
+instead of ~100 GB), and the output layout is disparity-minor
+(H, W, D) — lane-aligned for the SGM sweeps and WTA, so no XLA
+minor-axis transpose ever touches the volume.
+
+Both reference sides run the SAME kernel through the mirror identity
+<fl[x], fr[x-d]> = <fl'[x'], fr'[x'+d]> at x' = W-1-x (primes =
+x-flipped maps): the left volume comes out x-reversed, which is
+exactly the layout the vertical SGM sweeps want for the -1 direction
+(ops/sgm.py `_sgm_slab`) — the flip is only undone (fused into other
+passes) where a natural-x view is needed.
 """
 
 from __future__ import annotations
@@ -28,59 +42,84 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 XB = 128  # output columns per grid step
+YB = 8    # rows per grid step (amortizes per-step overhead)
 
 
-def _join_one_sided(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
-                    disp_max: int, flip: bool, slab_base: int,
-                    interpret: bool) -> jnp.ndarray:
-    """Raw (unmasked, unnegated) dot volume for one reference side.
-
-    feat_a: (H, Wp, Cp) tile side; feat_b_pad: (H, Wf, Cp) slab side,
-    already left-padded so slab reads never go negative.
-    Returns (Dp, H, Wp) with vol[d, y, x] = <a[y, x], b[y, x -/+ d]>.
+def _join_plus(feat_a: jnp.ndarray, feat_b: jnp.ndarray, disp_max: int,
+               W: int, n_fix: int, interpret: bool) -> jnp.ndarray:
+    """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
+    d >= disp_max, with rows x < n_fix replaced by row n_fix
+    (fix_border). feat_a/feat_b: (Hp, Wp, Cp), already padded.
+    Returns (Hp, Wp, Dp) float32.
     """
-    H, Wp, Cp = feat_a.shape
+    Hp, Wp, Cp = feat_a.shape
     D = disp_max
     Dp = -(-D // 128) * 128
-    SLAB = XB + Dp  # covers all D shifts of an XB tile, 128-aligned
-    YB = 8          # rows per grid step (amortizes per-step overhead)
-    Hp = -(-H // YB) * YB
-    if Hp != H:
-        feat_a = jnp.pad(feat_a, ((0, Hp - H), (0, 0), (0, 0)))
-        feat_b_pad = jnp.pad(feat_b_pad, ((0, Hp - H), (0, 0), (0, 0)))
+    SLAB = XB + Dp
+    assert Hp % YB == 0 and Wp % XB == 0
+    feat_b_pad = jnp.pad(feat_b, ((0, 0), (0, SLAB), (0, 0)))
 
     def kernel(a_ref, b_hbm, out_ref, slab, sem):
-        y = pl.program_id(0)
         xb = pl.program_id(1)
+        y = pl.program_id(0)
         cp = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(y * YB, YB), pl.ds(xb * XB + slab_base, SLAB), :],
-            slab, sem)
+            b_hbm.at[pl.ds(y * YB, YB), pl.ds(xb * XB, SLAB), :], slab, sem)
         cp.start()
         a_blk = a_ref[:]  # (YB, XB, Cp)
         cp.wait()
-        B = jax.lax.dot_general(
-            a_blk, slab[:], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            # full f32 like the reference CUDA dot (adcensus.cu:1480);
-            # default MXU bf16 rounding shifts WTA decisions
-            precision=jax.lax.Precision.HIGHEST)  # (YB, XB, SLAB)
-        # shear: Bs[y, i, e] = B[y, i, (e + i) mod SLAB]
-        # left-ref: out[d, i] = B[i, i + (Dp-1) - d] = Bs[i, Dp-1-d]
-        # right-ref: out[d, i] = B[i, i + d]         = Bs[i, d]
+        # bf16x3 matmul (hand-split: Mosaic lowers only DEFAULT and
+        # HIGHEST): ~1e-7 relative of the reference's f32 CUDA dot
+        # (adcensus.cu:1480) at half the MXU cost of 6-pass HIGHEST.
+        # Single-pass bf16 DOES shift WTA decisions; 3-pass does not
+        # at any tested tolerance. a*b = (ah+al)(bh+bl) ~ ah@bh +
+        # ah@bl + al@bh (the al@bl term is below f32 resolution).
+        b_blk = slab[:]
+        a_hi = a_blk.astype(jnp.bfloat16)
+        a_lo = (a_blk - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b_blk.astype(jnp.bfloat16)
+        b_lo = (b_blk - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        B = mm(a_hi, b_hi) + (mm(a_hi, b_lo) + mm(a_lo, b_hi))
+        # shear: Bs[y, i, e] = B[y, i, (e + i) mod SLAB] -> lane d of
+        # row i is B[i, i + d] = <a[x0+i], b[x0+i+d]>
         row = jax.lax.broadcasted_iota(jnp.int32, B.shape, 1)
         bit = 1
         while bit < XB:
             rolled = pltpu.roll(B, SLAB - bit, axis=2)
             B = jnp.where((row & bit) != 0, rolled, B)
             bit *= 2
-        out_ref[:] = jnp.transpose(B[:, :, :Dp], (0, 2, 1))  # (YB, Dp, XB)
+        blk = B[:, :, :Dp]  # (YB, XB, Dp)
+        x = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1) + xb * XB
+        d = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
+        blk = jnp.where((x + d < W) & (d < D), -blk, jnp.nan)
+        if n_fix > 0:
+            @pl.when(xb == 0)
+            def _():
+                b2 = blk
+                xi = jax.lax.broadcasted_iota(jnp.int32, b2.shape, 1)
+                # masked-sum broadcast of row n_fix (NaNs in the source
+                # row propagate through the sum, like the reference's
+                # column copy propagates them)
+                src = jnp.sum(jnp.where(xi == n_fix, b2, 0.0), axis=1,
+                              keepdims=True)
+                out_ref[:] = jnp.where(xi < n_fix, src, b2)
 
-    out = pl.pallas_call(
+            @pl.when(xb > 0)
+            def _():
+                out_ref[:] = blk
+        else:
+            out_ref[:] = blk
+
+    return pl.pallas_call(
         kernel,
         grid=(Hp // YB, Wp // XB),
         in_specs=[
@@ -88,17 +127,56 @@ def _join_one_sided(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((YB, Dp, XB), lambda y, x: (y, 0, x),
+        out_specs=pl.BlockSpec((YB, XB, Dp), lambda y, x: (y, x, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, Dp, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((YB, SLAB, Cp), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(feat_a, feat_b_pad)
-    out = jnp.transpose(out[:H], (1, 0, 2))  # (Dp, H, Wp), diag index e
-    if flip:
-        out = out[::-1]  # e = Dp-1-d  ->  d order
-    return out
+
+
+@functools.partial(jax.jit, static_argnames=("disp_max", "n_fix",
+                                             "interpret"))
+def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
+                        disp_max: int, n_fix: int = 0,
+                        interpret: bool = False
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both cost volumes in padded disparity-minor layout.
+
+    feat_l/feat_r: (H, W, C) L2-normalized maps. Returns
+    (vol_l_xrev, vol_r), each (Hp, Wp, Dp) float32 where
+    ``vol_r[y, x, d] = -<fr[y,x], fl[y,x+d]>`` (natural x) and
+    ``vol_l_xrev[y, x', d] = vol_L[y, W-1-x', d]`` (x-REVERSED left
+    volume — the mirror identity makes both sides the same kernel, and
+    the reversed form is what the vertical SGM sweeps consume for the
+    -1 direction). Rows y >= H and lanes d >= disp_max are NaN;
+    columns x' beyond W are NaN. ``n_fix`` applies the reference's
+    fix_border column replication in-kernel (per side, n_fix natural
+    border columns on the side's own frame — identical row indices in
+    both frames by the mirror symmetry).
+    """
+    H, W, C = feat_l.shape
+    Wp = -(-W // XB) * XB
+    Cp = -(-C // 128) * 128
+    Hp = -(-H // YB) * YB
+
+    def prep(f, flip):
+        if flip:
+            f = f[:, ::-1]
+        return jnp.pad(f, ((0, Hp - H), (0, Wp - W), (0, Cp - C)))
+
+    fr_n = prep(feat_r, False)
+    fl_n = prep(feat_l, False)
+    fl_f = prep(feat_l, True)
+    fr_f = prep(feat_r, True)
+    vol_r = _join_plus(fr_n, fl_n, disp_max, W, n_fix, interpret)
+    vol_l_xrev = _join_plus(fl_f, fr_f, disp_max, W, n_fix, interpret)
+    # pad rows y >= H to NaN (feature pad rows produce -0 dots)
+    ys = jnp.arange(Hp)[:, None, None]
+    vol_r = jnp.where(ys < H, vol_r, jnp.nan)
+    vol_l_xrev = jnp.where(ys < H, vol_l_xrev, jnp.nan)
+    return vol_l_xrev, vol_r
 
 
 @functools.partial(jax.jit, static_argnames=("disp_max", "interpret"))
@@ -109,27 +187,12 @@ def stereo_join_mxu(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
 
     feat_l/feat_r: (H, W, C) L2-normalized maps. Returns (vol_L, vol_R)
     as (D, H, W) float32 cost volumes (negated dots, NaN out of frame).
+    Thin relayout wrapper over :func:`stereo_join_mxu_hwd` for the
+    disparity-major public contract.
     """
-    H, W, C = feat_l.shape
+    H, W, _ = feat_l.shape
     D = disp_max
-    Dp = -(-D // 128) * 128
-    Wp = -(-W // XB) * XB
-    Cp = -(-C // 128) * 128
-
-    fl = jnp.pad(feat_l, ((0, 0), (0, Wp - W), (0, Cp - C)))  # (H, Wp, Cp)
-    fr = jnp.pad(feat_r, ((0, 0), (0, Wp - W), (0, Cp - C)))
-    # slab sides: left-referenced gathers fr[x-d] -> pad Dp-1 on the
-    # left; right-referenced gathers fl[x+d] -> no left pad, Dp right
-    fr_slab = jnp.pad(fr, ((0, 0), (Dp - 1, Dp), (0, 0)))
-    fl_slab = jnp.pad(fl, ((0, 0), (0, Dp + Dp), (0, 0)))
-
-    raw_l = _join_one_sided(fl, fr_slab, D, flip=True, slab_base=0,
-                            interpret=interpret)
-    raw_r = _join_one_sided(fr, fl_slab, D, flip=False, slab_base=0,
-                            interpret=interpret)
-
-    xs = jnp.arange(W)
-    ds = jnp.arange(D)[:, None, None]
-    vol_l = jnp.where(xs[None, None, :] - ds >= 0, -raw_l[:D, :, :W], jnp.nan)
-    vol_r = jnp.where(xs[None, None, :] + ds < W, -raw_r[:D, :, :W], jnp.nan)
-    return vol_l, vol_r
+    vol_l_xrev, vol_r = stereo_join_mxu_hwd(feat_l, feat_r, D,
+                                            interpret=interpret)
+    vol_l = jnp.transpose(vol_l_xrev[:H, :W, :D][:, ::-1], (2, 0, 1))
+    return vol_l, jnp.transpose(vol_r[:H, :W, :D], (2, 0, 1))

@@ -87,11 +87,54 @@ def test_stereo_join_mxu_matches_xla():
 
     rng2 = np.random.RandomState(9)
     H, W, C, D = 20, 300, 64, 48
+    # Contract: L2-normalized descriptors (see the hwd test below).
     fl = rng2.randn(H, W, C).astype(np.float32)
     fr = rng2.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
     vl0, vr0 = costs.stereo_join(jnp.asarray(fl), jnp.asarray(fr), D)
     vl1, vr1 = stereo_join_mxu(jnp.asarray(fl), jnp.asarray(fr), D)
     for a, b in ((vl0, vl1), (vr0, vr1)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.array_equal(np.isnan(a), np.isnan(b))
         assert np.nanmax(np.abs(a - b)) < 1e-4
+
+
+def test_stereo_join_mxu_hwd_interpret():
+    """HWD-layout MXU join (interpret mode, runs anywhere): the padded
+    (Hp, Wp, Dp) disparity-minor output with in-kernel mask, negation,
+    and fix_border must match the XLA join + fix_border oracle after
+    relayout (x-unflip of the mirrored left side, transpose). Pinned to
+    CPU: on a TPU backend the XLA oracle einsum itself rounds to bf16
+    (default matmul precision), so the comparison would measure the
+    oracle's error, not the kernel's."""
+    import jax
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.RandomState(3)
+    H, W, C, D, n = 21, 150, 32, 40, 4
+    # The kernel's contract is L2-normalized descriptors (towers end in
+    # Normalize2): dots live in [-1, 1], where the bf16x3 matmul is
+    # ~1e-6 of the f32 reference.
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+    with jax.default_device(cpu):
+        want_l = np.asarray(costs.fix_border(
+            costs.stereo_join(jnp.asarray(fl), jnp.asarray(fr), D)[0], -1, n))
+        want_r = np.asarray(costs.fix_border(
+            costs.stereo_join(jnp.asarray(fl), jnp.asarray(fr), D)[1], 1, n))
+        got_lr, got_r = stereo_join_mxu_hwd(
+            jnp.asarray(fl), jnp.asarray(fr), D, n_fix=n, interpret=True)
+    got_lr, got_r = np.asarray(got_lr), np.asarray(got_r)
+    assert np.all(np.isnan(got_r[H:]))        # pad rows
+    assert np.all(np.isnan(got_r[:, :, D:]))  # pad lanes
+    assert np.all(np.isnan(got_r[:, W:, :]))  # pad columns
+    gl = got_lr[:H, :W, :D][:, ::-1].transpose(2, 0, 1)
+    gr = got_r[:H, :W, :D].transpose(2, 0, 1)
+    for a, b in ((want_l, gl), (want_r, gr)):
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.nanmax(np.abs(a - b)) < 1e-5
