@@ -201,3 +201,13 @@ def wta(vol: jnp.ndarray) -> jnp.ndarray:
     """
     clean = jnp.where(jnp.isnan(vol), jnp.inf, vol)
     return jnp.argmin(clean, axis=0).astype(jnp.float32)
+
+
+def wta_hwd(vol: jnp.ndarray) -> jnp.ndarray:
+    """WTA for the disparity-minor (H, W, Dp) layout of the HWD lane:
+    argmin over the lane axis, NaN-ignoring, 0-based, ties to the
+    lowest disparity (same contract as :func:`wta`). Pad lanes are NaN
+    and never win; all-NaN columns (pad) return 0 and are sliced away
+    by the caller."""
+    clean = jnp.where(jnp.isnan(vol), jnp.inf, vol)
+    return jnp.argmin(clean, axis=-1).astype(jnp.float32)

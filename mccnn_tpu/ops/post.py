@@ -37,14 +37,24 @@ def outlier_detection(d0: jnp.ndarray, d1: jnp.ndarray, disp_max: int) -> jnp.nd
     d1_at = jnp.take_along_axis(d1, jnp.clip(xs - d0i, 0, W - 1), axis=1)
     match = jnp.abs(d0 - d1_at) < 1.1
 
-    def any_mismatch_ok(carry, d):
-        idx = xs - d
-        t = jnp.take_along_axis(d1, jnp.clip(idx, 0, W - 1), axis=1)
-        ok = (idx >= 0) & (jnp.abs(d - t) < 1.1)
-        return carry | ok, None
+    # exists[y,x] = any d: |d - d1[y, x-d]| < 1.1. Each d's lookup is a
+    # SHIFT of d1, not a gather: slice a left-inf-padded copy (inf fails
+    # the comparison where x-d leaves the frame). Chunked unroll keeps
+    # the sequential scan depth at disp_max/8.
+    D = disp_max
+    pd1 = jnp.pad(d1, ((0, 0), (D, 0)), constant_values=jnp.inf)
+    CH = 8
 
-    exists, _ = jax.lax.scan(any_mismatch_ok, jnp.zeros((H, W), bool),
-                             jnp.arange(disp_max))
+    def chunk(carry, d_base):
+        ex = carry
+        for k in range(CH):
+            d = jnp.minimum(d_base + k, D - 1)  # clamp: dup d is a no-op
+            t = jax.lax.dynamic_slice(pd1, (0, D - d), (H, W))
+            ex = ex | (jnp.abs(d.astype(d1.dtype) - t) < 1.1)
+        return ex, None
+
+    exists, _ = jax.lax.scan(chunk, jnp.zeros((H, W), bool),
+                             jnp.arange(-(-D // CH)) * CH)
     out = jnp.where(exists, MISMATCH, OCCLUSION).astype(jnp.float32)
     out = jnp.where(match & ~off_frame, MATCH, out)
     out = jnp.where(off_frame, OCCLUSION, out)
@@ -182,13 +192,24 @@ def subpixel_enhancement(d0: jnp.ndarray, vol: jnp.ndarray, disp_max: int
                          ) -> jnp.ndarray:
     """Parabola fit over cost at d-1, d, d+1 (adcensus.cu:1205-1219).
     vol: (D, H, W). NaN neighbors disable the refinement (the CUDA
-    ``denom > 1e-5`` comparison is false for NaN)."""
+    ``denom > 1e-5`` comparison is false for NaN).
+
+    TPU-native design: the three cost samples are three masked sums
+    over the disparity axis, fused by XLA into ONE traversal of the
+    volume — no (H, W, D) relayout and no per-pixel gathers (a
+    take_along_axis formulation paid a full-volume transpose plus
+    three gather passes). A selected NaN cell propagates through its
+    sum exactly like the gather would."""
     d = d0.astype(jnp.int32)
     D = vol.shape[0]
-    vol_dhw = jnp.moveaxis(vol, 0, -1)  # (H, W, D)
-    cn = jnp.take_along_axis(vol_dhw, jnp.clip(d - 1, 0, D - 1)[..., None], -1)[..., 0]
-    cz = jnp.take_along_axis(vol_dhw, jnp.clip(d, 0, D - 1)[..., None], -1)[..., 0]
-    cp = jnp.take_along_axis(vol_dhw, jnp.clip(d + 1, 0, D - 1)[..., None], -1)[..., 0]
+    ds = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    dn = d[None]
+
+    def sel(offset):
+        m = ds == dn + offset
+        return jnp.sum(jnp.where(m, vol, 0.0), axis=0)
+
+    cn, cz, cp = sel(-1), sel(0), sel(1)
     denom = 2 * (cp + cn - 2 * cz)
     refined = d - jnp.clip((cp - cn) / denom, -1.0, 1.0)
     ok = (d >= 1) & (d < disp_max - 1) & (denom > 1e-5)
@@ -264,3 +285,30 @@ def mean2d(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float) -> jnp.ndarray:
         row_step, (jnp.zeros_like(img), jnp.zeros_like(img)),
         (jnp.arange(-r, r + 1), kern))
     return acc / cnt
+
+
+def subpixel_enhancement_hwd(d0: jnp.ndarray, vol: jnp.ndarray,
+                             disp_max: int, denom_thresh: float = 1e-5
+                             ) -> jnp.ndarray:
+    """Disparity-minor variant of :func:`subpixel_enhancement` for the
+    HWD lane: vol (H, Wp, Dp), d0 (H, Wp) in the SAME storage order as
+    vol (the caller flips x-reversed maps).
+
+    ``denom_thresh``: pass 4e-5 when vol carries the un-divided 4-sweep
+    SGM sum — cp/cn/cz are then exactly 4x the reference's values, so
+    the parabola ratio is bit-identical and only the threshold needs
+    the power-of-2 rescale (adcensus.cu:1205-1219 semantics preserved
+    exactly)."""
+    d = d0.astype(jnp.int32)
+    Dp = vol.shape[-1]
+    ds = jnp.arange(Dp, dtype=jnp.int32)[None, None, :]
+    dn = d[..., None]
+
+    def sel(offset):
+        return jnp.sum(jnp.where(ds == dn + offset, vol, 0.0), axis=-1)
+
+    cn, cz, cp = sel(-1), sel(0), sel(1)
+    denom = 2 * (cp + cn - 2 * cz)
+    refined = d - jnp.clip((cp - cn) / denom, -1.0, 1.0)
+    ok = (d >= 1) & (d < disp_max - 1) & (denom > denom_thresh)
+    return jnp.where(ok, refined, d).astype(jnp.float32)

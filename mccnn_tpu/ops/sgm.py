@@ -228,7 +228,7 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
 
 def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                         D, rev_base, pi1, pi2, tau_so, alpha1, q1, q2,
-                        sgm_dir, St=256, acc=None):
+                        sgm_dir, St=256, acc=None, T=None):
     """Horizontal streaming sweep with slab-resident penalties.
 
     The horizontal sweeps' D2 table is, per step x, a lane-contiguous
@@ -250,11 +250,17 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
     acc: optional (T, Sp, Dp) accumulator — the kernel streams it in
     and writes val + acc (aliased in-place), so summing the sweeps
     needs no separate XLA add/transpose passes.
+    T: number of REAL sweep steps (default: the full step axis). When
+    the volume carries pad steps (the HWD lane sweeps the join's
+    padded buffer in place), steps >= T are never read or written —
+    the caller must ignore them in the output.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, Sp, Dp = vol_s.shape
+    T_full, Sp, Dp = vol_s.shape
+    if T is None:
+        T = T_full
     assert Sp % St == 0
     WL = d1_slab.shape[1]
     GL = g_slab.shape[1]
@@ -379,7 +385,7 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
         grid=(Sp // St,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
+        out_shape=jax.ShapeDtypeStruct((T_full, Sp, Dp), vol_s.dtype),
         scratch_shapes=scratch,
         input_output_aliases={3: 0} if with_acc else {},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -389,7 +395,7 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
 
 def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                         reverse_steps, D, pi1, pi2, tau_so, alpha1, q1, q2,
-                        sgm_dir, St=256, acc=None):
+                        sgm_dir, St=256, acc=None, T=None):
     """Vertical streaming sweep with shear-built penalties.
 
     The vertical sweeps' D2[y, x, d] = g[y, x + d*direction + D] is,
@@ -416,7 +422,9 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    T, Sp, Dp = vol_s.shape
+    T_full, Sp, Dp = vol_s.shape
+    if T is None:
+        T = T_full
     assert Sp % St == 0
     HL = d1_slab.shape[1]
     Tg = g_rev.shape[0]  # T padded to a sublane multiple (8) by caller
@@ -565,7 +573,7 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         grid=(Sp // St,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((T, Sp, Dp), vol_s.dtype),
+        out_shape=jax.ShapeDtypeStruct((T_full, Sp, Dp), vol_s.dtype),
         scratch_shapes=scratch,
         input_output_aliases={4: 0} if with_acc else {},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -779,6 +787,97 @@ def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
         outs[d] = (jnp.transpose(acc_h[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
                    + jnp.transpose(vsl, (2, 0, 1)))
     return outs
+
+
+def _pick_st_div(n: int):
+    """Largest scanline tile in [128, 256] (multiple of 8) that divides
+    n exactly, or None."""
+    for st in range(256, 127, -8):
+        if n % st == 0:
+            return st
+    return None
+
+
+def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
+                  q1, q2):
+    """Four sweeps summed for ONE reference direction, consuming the
+    join's native padded disparity-minor layout (ops/join_pallas.py).
+
+    vol: (Hp, Wp, Dp) float32 — ``xrev=True`` for the left/-1 reference
+    direction (x-REVERSED storage, as the join emits it), False for the
+    right/+1 (natural x). Returns (H, Wp, Dp) in the same storage
+    convention, **NOT divided by 4**: WTA is scale-invariant and the
+    subpixel parabola ratio is bit-exact under the power-of-2 rescale
+    (threshold scaled to 4e-5); callers that materialize the volume
+    divide by 4 themselves.
+
+    No volume relayout for the x-reversed direction: a natural ->
+    sweep over x IS a reversed-step sweep over the stored axis, and
+    the penalty slabs are lane-reversed instead (the mirror identity
+    g_nat[x - d + D] == rev(g_nat)[x' + d + D] at x' = W-1-x). The
+    vertical family consumes the buffer directly; the horizontal
+    family pays the one unavoidable (W, H) transpose. Sweeps take an
+    explicit step count so the pad rows/columns are never touched
+    (the up/backward sweeps must INIT on the last REAL step — an
+    all-NaN pad init would poison the recurrence).
+    """
+    Hp, Wp, Dp = vol.shape
+    assert Dp == -(-D // 128) * 128 and Hp % 8 == 0 and Wp % 128 == 0
+
+    # ---- vertical family (sgm_dir 2: v, 3: ^): steps = y ----------------
+    St_v = 128  # Wp is a multiple of 128
+    n_rev_v = (Wp // St_v) if xrev else 0
+    GLv = -(-(D + Wp + Dp + 256) // 128) * 128
+    HL = -(-H // 128) * 128
+    acc_v = None
+    for sgm_dir, dy in ((2, 1), (3, -1)):
+        d1 = _grad_with_sentinel(x0, axis=0, step=dy).T  # (W, H): lane y
+        if xrev:
+            d1 = d1[::-1]
+        d1_slab = jnp.pad(d1, ((0, Wp - W), (0, HL - H)))
+        core = jnp.pad(jnp.abs(x1 - jnp.roll(x1, dy, axis=0)),
+                       ((0, 0), (D, D)), constant_values=10.0)  # (H, W+2D)
+        nat = jnp.pad(core, ((0, Hp - H), (0, GLv - core.shape[1])),
+                      constant_values=10.0)
+        rev = jnp.pad(core[:, ::-1], ((0, Hp - H), (0, GLv - core.shape[1])),
+                      constant_values=10.0)
+        acc_v = _sweep_stream_vslab(
+            vol, d1_slab, rev, nat, n_rev_v, dy == -1, D,
+            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_v, acc=acc_v,
+            T=H)
+
+    # ---- horizontal family (sgm_dir 0: ->, 1: <-): steps = x ------------
+    vol_t = jnp.transpose(vol, (1, 0, 2))  # (Wp, Hp, Dp)
+    St_h = _pick_st_div(Hp)
+    if St_h is None:
+        St_h = _pick_st(Hp)
+        Sp_h = -(-Hp // St_h) * St_h
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, Sp_h - Hp), (0, 0)),
+                        constant_values=jnp.nan)
+    Sp_h = vol_t.shape[1]
+    GL = -(-(W + D + Dp + 128) // 128) * 128
+    WLp = -(-W // 128) * 128
+    acc_h = None
+    # For the x-reversed storage the natural -> sweep (sgm_dir 0) runs
+    # the stored steps in REVERSE, and both passes read lane-reversed
+    # slabs; the natural storage is the familiar pairing.
+    for sgm_dir, dx in ((0, 1), (1, -1)):
+        reverse_steps = (dx == -1) != xrev
+        d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W), lane x
+        g_core = _d2_columns(x1, dx, 0, 1, D)          # (H, W+2D)
+        if xrev:
+            d1 = d1[:, ::-1]
+            g_core = g_core[:, ::-1]
+        d1_slab = jnp.pad(d1, ((0, Sp_h - H), (0, WLp - W)))
+        g_slab = jnp.pad(g_core, ((0, Sp_h - H), (0, GL - g_core.shape[1])),
+                         constant_values=10.0)
+        acc_h = _sweep_stream_hslab(
+            vol_t, d1_slab, g_slab, 0, reverse_steps, D, 0,
+            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_h, acc=acc_h,
+            T=W)
+
+    # pad columns x' >= W come out NaN (NaN + garbage = NaN)
+    return acc_v[:H] + jnp.transpose(acc_h, (1, 0, 2))[:H]
 
 
 def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,

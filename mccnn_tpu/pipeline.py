@@ -202,6 +202,131 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
     return d_final
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "disp_max", "kitti", "ws", "dtype_name", "sgm_i",
+    "sm_terminate", "sm_skip", "return_vols",
+    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))
+def _fast_hwd_jit(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
+                  dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
+                  sgm_i, blur_t, sm_terminate, sm_skip, return_vols):
+    """The fast-arch pipeline in the join's native disparity-minor
+    layout (TPU default when no CBCA is configured — every KITTI fast
+    config has cbca_i1 = cbca_i2 = 0).
+
+    One fused jit: tower -> HWD MXU join (mask/negate/fix_border
+    in-kernel) -> per-direction slab SGM consuming the padded
+    (Hp, Wp, Dp) buffers as-is -> lane-axis WTA -> refinement. The
+    left volume lives x-REVERSED end to end (only (H, W) disparity
+    maps are ever flipped); no full-volume relayout except the
+    horizontal sweep family's (W, H) transpose inside the slab SGM.
+    The /4 after the sweep sum is elided: WTA is scale-invariant and
+    the subpixel parabola is bit-exact under the power-of-2 rescale
+    with its threshold at 4e-5 (see subpixel_enhancement_hwd); the
+    predict-mode volume dump divides by 4 on the way out.
+
+    Stage gates (sm_terminate/sm_skip) follow main.lua:988-1080 like
+    _method_jit; the CBCA stages do not exist in this lane.
+    """
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    D = int(disp_max)
+    H, W = x0.shape
+    dtype = jnp.dtype(dtype_name)
+    feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
+                               arch="fast", padding="SAME", dtype=dtype)
+    n_fix = (ws - 1) // 2
+    vol_lr, vol_r = stereo_join_mxu_hwd(
+        feats[0].astype(jnp.float32), feats[1].astype(jnp.float32), D,
+        n_fix=n_fix)
+
+    sgm_ran = _active_after(sm_terminate, "cbca1") and sm_skip != "sgm"
+    cur_lr, cur_r = vol_lr, vol_r
+    if sgm_ran:
+        kw = dict(pi1=pi1, pi2=pi2, tau_so=tau_so, alpha1=alpha1,
+                  q1=sgm_q1, q2=sgm_q2)
+        for i in range(sgm_i):
+            if i > 0:  # sgm_i is 1 in every config; keep re-iteration exact
+                cur_lr, cur_r = cur_lr / 4.0, cur_r / 4.0
+            cur_lr = sgm_mod._sgm_slab_hwd(x0, x1, cur_lr, D, H, W,
+                                           xrev=True, **kw)
+            cur_r = sgm_mod._sgm_slab_hwd(x0, x1, cur_r, D, H, W,
+                                          xrev=False, **kw)
+
+    d_l = costs.wta_hwd(cur_lr)[:H, :W][:, ::-1]
+    d_r = costs.wta_hwd(cur_r)[:H, :W]
+    d_final = d_l
+    sm_active = _active_after(sm_terminate, "cbca2")
+
+    if kitti:
+        outlier = post.outlier_detection(d_l, d_r, D)
+        if sm_active and sm_skip != "occlusion":
+            d_final = post.interpolate_occlusion(d_final, outlier)
+        if _active_after(sm_terminate, "occlusion") and sm_skip != "occlusion":
+            d_final = post.interpolate_mismatch(d_final, outlier)
+        sm_active = _active_after(sm_terminate, "mismatch")
+
+    if sm_active and sm_skip != "subpixel_enchancement":
+        Wp = cur_lr.shape[1]
+        d_rev = jnp.pad(d_final[:, ::-1], ((0, 0), (0, Wp - W)))
+        thresh = 4e-5 if sgm_ran else 1e-5
+        s = post.subpixel_enhancement_hwd(d_rev, cur_lr[:H], D,
+                                          denom_thresh=thresh)
+        d_final = s[:, :W][:, ::-1]
+    sm_active = sm_active and _active_after(sm_terminate,
+                                            "subpixel_enchancement")
+
+    if sm_active and sm_skip != "median":
+        d_final = post.median2d(d_final, 5)
+    sm_active = sm_active and _active_after(sm_terminate, "median")
+
+    if sm_active and sm_skip != "bilateral":
+        d_final = post.mean2d(d_final, blur_kernel, blur_t)
+
+    if return_vols:
+        # Return the volumes in STORED layout and relayout in a
+        # SEPARATE jit (_hwd_unpack_vol): on the axon runtime, a jit
+        # OUTPUT that is a reversed+transposed view of a Pallas-derived
+        # buffer materializes corrupted at KITTI scale (verified: the
+        # identical array checks clean in-graph and dirty as an
+        # output; optimization_barrier does not help). Splitting the
+        # relayout into its own jit forces a clean materialization of
+        # the stored buffer first.
+        return d_final, cur_lr, cur_r
+    return d_final
+
+
+@functools.partial(jax.jit, static_argnames=("D", "H", "W", "xrev",
+                                             "scale4"))
+def _hwd_unpack_vol(vol, *, D, H, W, xrev, scale4):
+    """Stored-layout (H', Wp, Dp) HWD volume -> natural (D, H, W) for
+    the predict-mode .bin dumps. ``scale4`` applies the deferred /4 of
+    the SGM sweep sum. Kept OUT of _fast_hwd_jit — see the runtime-bug
+    note there."""
+    v = vol[:H, :W, :D]
+    if xrev:
+        v = v[:, ::-1]
+    if scale4:
+        v = v * 0.25
+    return jnp.transpose(v, (2, 0, 1))
+
+
+def _hwd_eligible(cfg: Config, directions, disp_max, disp_true) -> bool:
+    """The HWD lane covers the fast arch with no CBCA, both reference
+    directions, exact (non-bucketed) disparity range, no volume cache,
+    on the TPU Pallas default path."""
+    import os
+
+    from mccnn_tpu.ops.sgm import _pallas_default
+
+    return (cfg.arch == "fast" and tuple(directions) == (1, -1)
+            and int(cfg.cbca_i1) == 0 and int(cfg.cbca_i2) == 0
+            and (disp_true is None or int(disp_true) == int(disp_max))
+            and not cfg.use_cache and not cfg.make_cache
+            and _pallas_default()
+            and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
+            and os.environ.get("MCCNN_FAST_HWD", "1") != "0")
+
+
 def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
                     pair_id=None, disp_true=None):
     """Cost volumes with the reference's second cache tier
@@ -246,6 +371,26 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
     else:
         directions = (1, -1)
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    if _hwd_eligible(cfg, directions, disp_max, disp_true):
+        out = _fast_hwd_jit(
+            params, jnp.asarray(x0), jnp.asarray(x1), blur_kernel,
+            disp_max=int(disp_max),
+            kitti=cfg.dataset in ("kitti", "kitti2015"), ws=cfg.ws,
+            dtype_name=cfg.dtype, pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+            tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+            sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+            sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
+            sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
+            return_vols=return_vols)
+        if not return_vols:
+            return out
+        d_final, cur_lr, cur_r = out
+        H, W = np.asarray(x0).shape
+        sgm_ran = (_active_after(cfg.sm_terminate, "cbca1")
+                   and cfg.sm_skip != "sgm")
+        kw = dict(D=int(disp_max), H=int(H), W=int(W), scale4=sgm_ran)
+        return (d_final, _hwd_unpack_vol(cur_lr, xrev=True, **kw),
+                _hwd_unpack_vol(cur_r, xrev=False, **kw))
     vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id,
                            disp_true=disp_true)
     return _method_jit(

@@ -211,3 +211,80 @@ def test_pipeline_fast_pallas_vs_xla():
     frac_diff = float((np.abs(a - b) > 0.51).mean())
     assert frac_diff < 0.01, f"{frac_diff:.4f} of pixels differ"
     assert_close(a.shape, b.shape)
+
+
+@pytest.mark.parametrize("xrev", [True, False])
+def test_sgm_slab_hwd_vs_scan(xrev):
+    """The per-direction HWD slab SGM (consuming the join's padded
+    disparity-minor buffers, explicit step counts, lane-reversed
+    penalty slabs for the x-reversed left direction) must match the
+    lax.scan formulation run on the equivalent natural (D, H, W)
+    volume. Shapes chosen so H is not a multiple of the scanline tile
+    and D is not a multiple of 128."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops import sgm as sgm_mod
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    rng = np.random.RandomState(31 + xrev)
+    H, W, C, D = 45, 310, 32, 150
+    x0 = jnp.asarray(rng.rand(H, W).astype(np.float32))
+    x1 = jnp.asarray(rng.rand(H, W).astype(np.float32))
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+    vol_lr, vol_r = stereo_join_mxu_hwd(jnp.asarray(fl), jnp.asarray(fr),
+                                        D, n_fix=4)
+    vol, direction = (vol_lr, -1) if xrev else (vol_r, 1)
+    got_hwd = sgm_mod._sgm_slab_hwd(
+        x0, x1, vol, D, H, W, xrev=xrev, pi1=PARAMS["pi1"],
+        pi2=PARAMS["pi2"], tau_so=PARAMS["tau_so"],
+        alpha1=PARAMS["alpha1"], q1=PARAMS["sgm_q1"], q2=PARAMS["sgm_q2"])
+    got = got_hwd[:H, :W, :D]
+    if xrev:
+        got = got[:, ::-1]
+    got = np.asarray(jnp.transpose(got, (2, 0, 1)))
+    nat = vol[:H, :W, :D]
+    if xrev:
+        nat = nat[:, ::-1]
+    want = np.asarray(sgm_mod._sgm_multi(
+        x0, x1, {direction: jnp.transpose(nat, (2, 0, 1))},
+        use_pallas=False, **PARAMS)[direction])
+    assert_close(got, want, tol=1e-4)
+
+
+def test_fast_hwd_lane_vs_standard():
+    """Full fast-arch pipeline: the HWD lane (fused tower->join->slab
+    SGM->WTA->refinement in disparity-minor layout) against the
+    standard DHW lane, including the predict-mode volume dumps (which
+    exercise the split-jit relayout working around the axon
+    reversed-output materialization bug)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    rng = np.random.RandomState(17)
+    H, W, D = 96, 400, 70
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = jnp.asarray(base[:, D:])
+    x1 = jnp.asarray(base[:, :-D])
+
+    os.environ.pop("MCCNN_FAST_HWD", None)
+    d_h, vl_h, vr_h = pipe.stereo_predict(cfg, params, x0, x1, D,
+                                          return_vols=True)
+    os.environ["MCCNN_FAST_HWD"] = "0"
+    try:
+        d_s, vl_s, vr_s = pipe.stereo_predict(cfg, params, x0, x1, D,
+                                              return_vols=True)
+    finally:
+        os.environ.pop("MCCNN_FAST_HWD", None)
+    assert np.array_equal(np.asarray(d_h), np.asarray(d_s))
+    for a, b in ((vl_h, vl_s), (vr_h, vr_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.nanmax(np.abs(a - b)) < 1e-5
