@@ -72,12 +72,75 @@ def main():
 
     baseline_pairs_per_s = 1.0 / 0.73
     pairs_per_s = 1.0 / per_pair
+
+    extra = {}
+    try:
+        extra["fast_batch8_pairs_per_s"] = round(
+            _bench_batch8(cfg, params, x0, x1, disp_max), 4)
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        extra["fast_batch8_error"] = type(e).__name__
+    try:
+        extra["slow_s_per_pair"] = round(
+            _bench_slow(x0, x1, disp_max), 4)
+    except Exception as e:  # pragma: no cover
+        extra["slow_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",
         "value": round(pairs_per_s, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 4),
+        **extra,
     }))
+
+
+def _bench_batch8(cfg, params, x0, x1, disp_max):
+    """Batch-of-8 serving throughput (pairs/s) on the local device set
+    via the shard_map batch path (BASELINE.md: pairs/s at 1 chip;
+    scales with the mesh on larger slices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mccnn_tpu.parallel.inference import make_batch_predict_sharded
+
+    B = 8
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    run = make_batch_predict_sharded(cfg, mesh, disp_max)
+    x0b = jnp.broadcast_to(x0, (B,) + x0.shape)
+    x1b = jnp.broadcast_to(x1, (B,) + x1.shape)
+    float(jnp.sum(run(params, x0b, x1b)))  # compile + warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(params, x0b, x1b)
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / B
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
+def _bench_slow(x0, x1, disp_max):
+    """Accurate-arch seconds/pair (reference: ~67 s/pair on a Titan X,
+    main.lua:1152 N=3 timing protocol)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import stereo_predict
+    from mccnn_tpu.cli import init_params
+
+    cfg = make_config("kitti", "slow", a="time")
+    params = init_params(cfg)
+    run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
+    float(jnp.sum(run()))  # compile + warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        float(jnp.sum(out))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 if __name__ == "__main__":

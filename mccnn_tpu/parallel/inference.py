@@ -86,6 +86,74 @@ def make_sharded_predict(cfg: Config, mesh: Mesh, disp_max: int,
     return run
 
 
+def make_batch_predict_sharded(cfg: Config, mesh: Mesh, disp_max: int,
+                               axis: str | None = None):
+    """Batch-of-pairs serving throughput via ``shard_map``: the batch
+    axis is sharded over the mesh and each device runs its LOCAL pairs
+    sequentially through the full single-device pipeline — on TPU that
+    is the Pallas fast lane (MXU join + streaming slab SGM), which
+    GSPMD cannot partition but shard_map never needs to: every pair
+    lives whole on one chip. Off-TPU the same body lowers to the scan
+    formulation, so the 8-virtual-device CPU tests exercise the exact
+    sharding structure.
+
+    This is the serving-throughput answer to the reference's
+    one-process-per-GPU ssh fan-out (rgs.py:9-14): one jitted dispatch
+    per batch, pairs/s scaling with the mesh size."""
+    import os
+
+    from jax import shard_map
+
+    from mccnn_tpu.ops.sgm import _pallas_default
+
+    axis = axis or mesh.axis_names[0]
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    # Gate the Pallas lane on the MESH's devices, not the process
+    # default backend: an 8-virtual-CPU test mesh must lower to the
+    # scan formulation even when the process also has a TPU attached.
+    mesh_tpu = mesh.devices.flat[0].platform == "tpu"
+    pallas = _pallas_default() and mesh_tpu
+    use_hwd = (cfg.arch == "fast" and int(cfg.cbca_i1) == 0
+               and int(cfg.cbca_i2) == 0 and pallas
+               and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
+               and os.environ.get("MCCNN_FAST_HWD", "1") != "0")
+    kw = _method_kwargs(cfg, disp_max, (1, -1))
+    kw["sgm_pallas"] = pallas  # single-device inside the shard
+
+    def one(params, x0, x1):
+        if use_hwd:
+            return pipe._fast_hwd_body(
+                params, x0, x1, blur_kernel, disp_max=int(disp_max),
+                kitti=cfg.dataset in ("kitti", "kitti2015"), ws=cfg.ws,
+                dtype_name=cfg.dtype, pi1=float(cfg.pi1),
+                pi2=float(cfg.pi2), tau_so=float(cfg.tau_so),
+                alpha1=float(cfg.alpha1), sgm_q1=float(cfg.sgm_q1),
+                sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
+                blur_t=float(cfg.blur_t), sm_terminate=cfg.sm_terminate,
+                sm_skip=cfg.sm_skip, return_vols=False)
+        vols = pipe._volumes_jit(params, x0, x1, arch=cfg.arch,
+                                 disp_max=int(disp_max), ws=cfg.ws,
+                                 dtype_name=cfg.dtype, use_pallas=pallas)
+        return pipe._method_jit(vols, x0, x1, blur_kernel=blur_kernel, **kw)
+
+    P_b = P(axis, None, None)
+    body = shard_map(
+        lambda p, a, b: jax.lax.map(lambda ab: one(p, ab[0], ab[1]), (a, b)),
+        mesh=mesh, in_specs=(P(), P_b, P_b), out_specs=P_b,
+        check_vma=False)
+    predict = jax.jit(body)
+    batch = NamedSharding(mesh, P_b)
+    repl = NamedSharding(mesh, P())
+
+    def run(params, x0b, x1b):
+        x0b = jax.device_put(jnp.asarray(x0b), batch)
+        x1b = jax.device_put(jnp.asarray(x1b), batch)
+        params = jax.device_put(params, repl)
+        return predict(params, x0b, x1b)
+
+    return run
+
+
 def make_batch_predict(cfg: Config, mesh: Mesh, disp_max: int,
                        axis: str | None = None):
     """Batched pair→disparity: (B, H, W) pairs sharded over `axis` —

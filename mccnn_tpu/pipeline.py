@@ -202,13 +202,9 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
     return d_final
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "disp_max", "kitti", "ws", "dtype_name", "sgm_i",
-    "sm_terminate", "sm_skip", "return_vols",
-    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))
-def _fast_hwd_jit(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
-                  dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
-                  sgm_i, blur_t, sm_terminate, sm_skip, return_vols):
+def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
+                   dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
+                   sgm_i, blur_t, sm_terminate, sm_skip, return_vols):
     """The fast-arch pipeline in the join's native disparity-minor
     layout (TPU default when no CBCA is configured — every KITTI fast
     config has cbca_i1 = cbca_i2 = 0).
@@ -293,6 +289,12 @@ def _fast_hwd_jit(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
         # the stored buffer first.
         return d_final, cur_lr, cur_r
     return d_final
+
+
+_fast_hwd_jit = functools.partial(jax.jit, static_argnames=(
+    "disp_max", "kitti", "ws", "dtype_name", "sgm_i", "blur_t",
+    "sm_terminate", "sm_skip", "return_vols",
+    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))(_fast_hwd_body)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "H", "W", "xrev",

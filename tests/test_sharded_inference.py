@@ -53,3 +53,27 @@ def test_batch_sharded_matches_single(cpu_mesh):
     assert got.shape == (B, H, W)
     for b in range(B):
         np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["census", "fast"])
+def test_batch_shardmap_matches_single(cpu_mesh, arch):
+    """The shard_map batch-serving path (Pallas pipeline per shard on
+    TPU; the same structure lowers to the scan formulation here on the
+    CPU mesh) must equal the unsharded pipeline for every pair."""
+    from mccnn_tpu.parallel.inference import make_batch_predict_sharded
+    from mccnn_tpu.cli import init_params
+
+    rng = np.random.RandomState(7)
+    cfg = make_config("kitti", arch, a="predict")
+    params = init_params(cfg) if arch == "fast" else None
+    B = 8
+    x0b = rng.randn(B, H, W).astype(np.float32)
+    x1b = rng.randn(B, H, W).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = [np.asarray(stereo_predict(cfg, params, x0b[b], x1b[b], D))
+                for b in range(B)]
+    run = make_batch_predict_sharded(cfg, cpu_mesh, D)
+    got = np.asarray(run(params, x0b, x1b))
+    assert got.shape == (B, H, W)
+    for b in range(B):
+        np.testing.assert_allclose(got[b], want[b], rtol=1e-5, atol=1e-5)
