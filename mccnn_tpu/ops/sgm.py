@@ -705,20 +705,15 @@ def _pick_st(n: int) -> int:
     return best[1]
 
 
-def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
-    """All four sweeps on the slab kernels with in-kernel accumulation.
-
-    Per family (horizontal, vertical) the volume is laid out ONCE in
-    the family's sweep order; the backward sweep indexes steps in
-    reverse inside the kernel (no reversal copies) and streams the
-    forward sweep's result back in, writing the sum in place (no XLA
-    add/transpose passes). One fused transpose-add per reference
-    direction combines the two family accumulators at the end.
-    """
+def _sgm_slab_horiz(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1,
+                    q1, q2):
+    """Horizontal family (sgm_dir 0: ->, 1: <-) on the slab kernel with
+    in-kernel accumulation of the two sweeps. Scanlines are image ROWS,
+    so this family is fully local under row sharding — the sharded path
+    runs it per row-shard inside ``shard_map`` (parallel/inference.py).
+    Returns {direction: (D, H, W) sum of both horizontal sweeps}."""
     n = len(dirs)
     Dp = -(-D // 128) * 128
-
-    # ---- horizontal family (sgm_dir 0: ->, 1: <-) -----------------------
     St_h = _pick_st(H)
     Hp = -(-H // St_h) * St_h
     GL = -(-(W + D + Dp + 128) // 128) * 128
@@ -745,8 +740,16 @@ def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
         acc_h = _sweep_stream_hslab(
             vol_x, d1_slab, g_slab, n_rev_h, dx == -1, D, W + D - 1,
             pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_h, acc=acc_h)
+    return {d: jnp.transpose(acc_h[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
+            for i, d in enumerate(dirs)}
 
-    # ---- vertical family (sgm_dir 2: v, 3: ^) ---------------------------
+
+def _sgm_slab_vert(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1,
+                   q1, q2):
+    """Vertical family (sgm_dir 2: v, 3: ^) on the slab kernel.
+    Returns {direction: (D, H, W) sum of both vertical sweeps}."""
+    n = len(dirs)
+    Dp = -(-D // 128) * 128
     St_v = _pick_st(W)
     Wp = -(-W // St_v) * St_v
     GLv = -(-(D + Wp + Dp + 256) // 128) * 128
@@ -778,15 +781,30 @@ def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
         acc_v = _sweep_stream_vslab(
             vol_y, d1_slab, rev, nat, n_rev_v, dy == -1, D,
             pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_v, acc=acc_v)
-
     outs = {}
     for i, d in enumerate(dirs):
         vsl = acc_v[:, i * Wp:i * Wp + W, :D]
         if d == -1:
             vsl = vsl[:, ::-1, :]
-        outs[d] = (jnp.transpose(acc_h[:, i * Hp:i * Hp + H, :D], (2, 1, 0))
-                   + jnp.transpose(vsl, (2, 0, 1)))
+        outs[d] = jnp.transpose(vsl, (2, 0, 1))
     return outs
+
+
+def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
+    """All four sweeps on the slab kernels with in-kernel accumulation.
+
+    Per family (horizontal, vertical) the volume is laid out ONCE in
+    the family's sweep order; the backward sweep indexes steps in
+    reverse inside the kernel (no reversal copies) and streams the
+    forward sweep's result back in, writing the sum in place (no XLA
+    add/transpose passes). One fused transpose-add per reference
+    direction combines the two family accumulators at the end.
+    """
+    h = _sgm_slab_horiz(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
+                        alpha1, q1, q2)
+    v = _sgm_slab_vert(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
+                       alpha1, q1, q2)
+    return {d: h[d] + v[d] for d in dirs}
 
 
 def _pick_st_div(n: int):
@@ -896,8 +914,6 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
     dirs = sorted(vols)
     D, H, W = vols[dirs[0]].shape
     q1, q2 = sgm_q1, sgm_q2
-    ds = jnp.arange(D)
-    n = len(dirs)
 
     # slab variant (default on TPU): oracle-validated; opt out with
     # MCCNN_SGM_HSLAB=0
@@ -906,9 +922,19 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
         return _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
                          alpha1, q1, q2)
 
-    outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
+    h = _sgm_scan_horiz(sweep, x0, x1, vols, dirs, D, H, W, pi1, pi2,
+                        tau_so, alpha1, q1, q2)
+    v = _sgm_scan_vert(sweep, x0, x1, vols, dirs, D, H, W, pi1, pi2,
+                       tau_so, alpha1, q1, q2)
+    return {d: h[d] + v[d] for d in dirs}
 
-    # ---- horizontal sweeps (sgm_dir 0: ->, 1: <-) ----------------------
+
+def _sgm_scan_horiz(sweep, x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
+                    alpha1, q1, q2):
+    """Horizontal sweeps (sgm_dir 0: ->, 1: <-) on the given sweep
+    implementation; returns {direction: (D, H, W) sum of both}."""
+    n = len(dirs)
+    outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
     vol_x = jnp.concatenate(
         [jnp.transpose(vols[d], (2, 1, 0)) for d in dirs],
         axis=1)  # (W, nH, D)
@@ -932,8 +958,16 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
         for i, d in enumerate(dirs):
             outs[d] = outs[d] + jnp.transpose(
                 res[:, i * H:(i + 1) * H], (2, 1, 0))
+    return outs
 
-    # ---- vertical sweeps (sgm_dir 2: v, 3: ^) ---------------------------
+
+def _sgm_scan_vert(sweep, x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so,
+                   alpha1, q1, q2):
+    """Vertical sweeps (sgm_dir 2: v, 3: ^) on the given sweep
+    implementation; returns {direction: (D, H, W) sum of both}."""
+    n = len(dirs)
+    ds = jnp.arange(D)
+    outs = {d: jnp.zeros_like(vols[d]) for d in dirs}
     vol_y = jnp.concatenate(
         [jnp.transpose(vols[d], (1, 2, 0)) for d in dirs], axis=1)  # (H, nW, D)
     for sgm_dir, dy in ((2, 1), (3, -1)):
@@ -952,7 +986,6 @@ def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,
         for i, d in enumerate(dirs):
             outs[d] = outs[d] + jnp.transpose(
                 res[:, i * W:(i + 1) * W], (2, 0, 1))
-
     return outs
 
 

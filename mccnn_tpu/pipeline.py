@@ -132,13 +132,15 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
 @functools.partial(jax.jit, static_argnames=(
     "disp_max", "directions", "kitti", "L1", "cbca_i1", "cbca_i2",
     "sgm_i", "sm_terminate", "sm_skip", "return_vols", "sgm_pallas",
+    "sgm_fn",
     # compile-time constants for the Pallas SGM sweep (config values,
     # one compile per stereo-method configuration anyway)
     "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))
 def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
                 L1, tau1, cbca_i1, cbca_i2, pi1, pi2, tau_so, alpha1,
                 sgm_q1, sgm_q2, sgm_i, blur_kernel, blur_t,
-                sm_terminate, sm_skip, return_vols, sgm_pallas=None):
+                sm_terminate, sm_skip, return_vols, sgm_pallas=None,
+                sgm_fn=None):
     D = disp_max
     sm_active = _active_after(sm_terminate, "cnn")
     do_cbca = sm_active and sm_skip != "cbca"
@@ -156,12 +158,17 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
 
     if _active_after(sm_terminate, "cbca1") and sm_skip != "sgm":
         # both reference directions share one fused sweep set — the
-        # serialized SGM steps are the pipeline's critical path
+        # serialized SGM steps are the pipeline's critical path.
+        # ``sgm_fn`` (static) substitutes the whole sweep set — the
+        # row-sharded path passes its shard_map hybrid here.
         for _ in range(sgm_i):
-            outs = sgm_mod._sgm_multi(
-                x0, x1, cur, pi1=pi1, pi2=pi2, tau_so=tau_so,
-                alpha1=alpha1, sgm_q1=sgm_q1, sgm_q2=sgm_q2,
-                use_pallas=sgm_pallas)
+            if sgm_fn is not None:
+                outs = sgm_fn(x0, x1, cur)
+            else:
+                outs = sgm_mod._sgm_multi(
+                    x0, x1, cur, pi1=pi1, pi2=pi2, tau_so=tau_so,
+                    alpha1=alpha1, sgm_q1=sgm_q1, sgm_q2=sgm_q2,
+                    use_pallas=sgm_pallas)
             cur = {d: v / 4.0 for d, v in outs.items()}
 
     disp = {}

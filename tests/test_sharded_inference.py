@@ -77,3 +77,23 @@ def test_batch_shardmap_matches_single(cpu_mesh, arch):
     assert got.shape == (B, H, W)
     for b in range(B):
         np.testing.assert_allclose(got[b], want[b], rtol=1e-5, atol=1e-5)
+
+
+def test_row_sharded_fast_matches_single(cpu_mesh):
+    """Fast arch through the row-sharded path: shard_map join per
+    row-shard + hybrid SGM (shard_map horizontal family, GSPMD
+    vertical). H=36 is NOT divisible by the 8-device mesh, so this
+    also exercises the pad-rows logic of both shard_maps."""
+    from mccnn_tpu.cli import init_params
+
+    Hf = 36
+    rng = np.random.RandomState(11)
+    x0 = rng.randn(Hf, W).astype(np.float32)
+    x1 = rng.randn(Hf, W).astype(np.float32)
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(stereo_predict(cfg, params, x0, x1, D))
+    run = make_sharded_predict(cfg, cpu_mesh, D)
+    got = np.asarray(run(params, x0, x1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -160,8 +160,12 @@ def test_stereo_join_mxu_vs_naive(shape):
 
     H, W, C, D = shape
     rng = np.random.RandomState(sum(shape))
+    # the kernel contract is L2-normalized features (towers emit them
+    # through Normalize; dots live in [-1, 1] for the bf16x3 matmul)
     fl = rng.randn(H, W, C).astype(np.float32)
     fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
     got_l, got_r = stereo_join_mxu(jnp.asarray(fl), jnp.asarray(fr), D)
     want_l, want_r = naive.stereo_join(fl, fr, D)
     assert_close(np.asarray(got_l), want_l, tol=1e-4)
@@ -288,3 +292,40 @@ def test_fast_hwd_lane_vs_standard():
         a, b = np.asarray(a), np.asarray(b)
         assert np.array_equal(np.isnan(a), np.isnan(b))
         assert np.nanmax(np.abs(a - b)) < 1e-5
+
+
+def test_rowsharded_predict_vs_single():
+    """The row-sharded predict path on a 1-device TPU mesh — the
+    shard_map horizontal slab kernels + GSPMD vertical scan hybrid
+    (parallel/inference.py:_make_rowsharded_sgm) — must match the
+    unsharded scan pipeline. (Multi-device equality is covered by the
+    8-virtual-CPU mesh tests; this lane proves the Pallas kernel runs
+    correctly INSIDE shard_map on the real chip.)"""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.parallel.inference import make_sharded_predict
+
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    rng = np.random.RandomState(3)
+    H, W, D = 96, 160, 32
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0, x1 = base[:, D:], base[:, :-D]
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("model",))
+    got = np.asarray(make_sharded_predict(cfg, mesh, D)(params, x0, x1))
+
+    os.environ["MCCNN_FAST_HWD"] = "0"
+    os.environ["MCCNN_SGM_HSLAB"] = "0"
+    try:
+        want = np.asarray(pipe.stereo_predict(cfg, params, x0, x1, D))
+    finally:
+        os.environ.pop("MCCNN_FAST_HWD", None)
+        os.environ.pop("MCCNN_SGM_HSLAB", None)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

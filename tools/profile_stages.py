@@ -47,6 +47,67 @@ def timed(name, fn, *args, n=10, reps=3):
     return out
 
 
+def hwd_lane():
+    """Stage timings of the SHIPPING fast lane (_fast_hwd_jit):
+    tower -> HWD MXU join -> 2x slab SGM -> WTA/post, plus the fused
+    whole."""
+    cfg = make_config("kitti", "fast", a="time")
+    disp_max = 228
+    sample = "/root/reference/samples/input"
+    x0 = jax.device_put(standardize(load_gray(os.path.join(sample, "kittiL.png"))))
+    x1 = jax.device_put(standardize(load_gray(os.path.join(sample, "kittiR.png"))))
+    params = init_params(cfg)
+    H, W = x0.shape
+    D = disp_max
+    print(f"HWD lane: pair {H}x{W} D={D}")
+
+    from mccnn_tpu.models import towers
+    from mccnn_tpu.ops import join_pallas, costs, post
+
+    tower_fn = jax.jit(lambda p, a, b: towers.apply_tower(
+        p, jnp.stack([a, b])[..., None], arch="fast", padding="SAME",
+        dtype=jnp.float32))
+    feats = timed("tower only", tower_fn, params, x0, x1)
+
+    n_fix = (cfg.ws - 1) // 2
+    join_fn = jax.jit(lambda f: join_pallas.stereo_join_mxu_hwd(
+        f[0], f[1], D, n_fix=n_fix))
+    vol_lr, vol_r = timed("HWD MXU join", join_fn, feats)
+    vol_lr = jax.device_put(np.asarray(vol_lr))
+    vol_r = jax.device_put(np.asarray(vol_r))
+
+    kw = dict(pi1=cfg.pi1, pi2=cfg.pi2, tau_so=cfg.tau_so,
+              alpha1=cfg.alpha1, q1=cfg.sgm_q1, q2=cfg.sgm_q2)
+    sgm_l = jax.jit(lambda a, b, v: sgm_mod._sgm_slab_hwd(
+        a, b, v, D, H, W, xrev=True, **kw))
+    sgm_r = jax.jit(lambda a, b, v: sgm_mod._sgm_slab_hwd(
+        a, b, v, D, H, W, xrev=False, **kw))
+    cur_lr = timed("slab SGM (left, 4 sweeps)", sgm_l, x0, x1, vol_lr)
+    cur_r = timed("slab SGM (right, 4 sweeps)", sgm_r, x0, x1, vol_r)
+    cur_lr = jax.device_put(np.asarray(cur_lr))
+    cur_r = jax.device_put(np.asarray(cur_r))
+
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+
+    def post_fn(clr, cr, a0):
+        d_l = costs.wta_hwd(clr)[:H, :W][:, ::-1]
+        d_r = costs.wta_hwd(cr)[:H, :W]
+        outlier = post.outlier_detection(d_l, d_r, D)
+        d = post.interpolate_occlusion(d_l, outlier)
+        d = post.interpolate_mismatch(d, outlier)
+        Wp = clr.shape[1]
+        d_rev = jnp.pad(d[:, ::-1], ((0, 0), (0, Wp - W)))
+        s = post.subpixel_enhancement_hwd(d_rev, clr[:H], D,
+                                          denom_thresh=4e-5)
+        d = s[:, :W][:, ::-1]
+        d = post.median2d(d, 5)
+        return post.mean2d(d, blur_kernel, cfg.blur_t)
+    timed("WTA + post (all stages)", jax.jit(post_fn), cur_lr, cur_r, x0)
+
+    full = jax.jit(lambda p, a, b: pipe.stereo_predict(cfg, p, a, b, D))
+    timed("FULL fast HWD stereo_predict", full, params, x0, x1)
+
+
 def main():
     cfg = make_config("kitti", "fast", a="time")
     disp_max = 228
@@ -171,5 +232,9 @@ def internals():
 
 
 if __name__ == "__main__":
-    main()
-    internals()
+    if "--legacy" in sys.argv:
+        # the pre-HWD (natural-layout) lane's stages
+        main()
+        internals()
+    else:
+        hwd_lane()
