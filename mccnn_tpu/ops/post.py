@@ -34,27 +34,22 @@ def outlier_detection(d0: jnp.ndarray, d1: jnp.ndarray, disp_max: int) -> jnp.nd
     xs = jnp.arange(W)[None, :]
     d0i = d0.astype(jnp.int32)
     off_frame = xs - d0i < 0
-    d1_at = jnp.take_along_axis(d1, jnp.clip(xs - d0i, 0, W - 1), axis=1)
-    match = jnp.abs(d0 - d1_at) < 1.1
 
-    # exists[y,x] = any d: |d - d1[y, x-d]| < 1.1. Each d's lookup is a
-    # SHIFT of d1, not a gather: slice a left-inf-padded copy (inf fails
-    # the comparison where x-d leaves the frame). Chunked unroll keeps
-    # the sequential scan depth at disp_max/8.
+    # Both tests read d1[y, x-d]: match at d = d0i[y,x], exists for any
+    # d. Each d's lookup is a SHIFT of d1, not a gather: slice a
+    # left-inf-padded copy (inf fails every comparison where x-d leaves
+    # the frame). Fully unrolled over d: every slice start is static,
+    # so XLA fuses all D taps into one elementwise kernel, and the
+    # match test rides the same taps as a one-hot select (a
+    # take_along_axis gather for it cost ~6 ms/map on TPU).
     D = disp_max
     pd1 = jnp.pad(d1, ((0, 0), (D, 0)), constant_values=jnp.inf)
-    CH = 8
-
-    def chunk(carry, d_base):
-        ex = carry
-        for k in range(CH):
-            d = jnp.minimum(d_base + k, D - 1)  # clamp: dup d is a no-op
-            t = jax.lax.dynamic_slice(pd1, (0, D - d), (H, W))
-            ex = ex | (jnp.abs(d.astype(d1.dtype) - t) < 1.1)
-        return ex, None
-
-    exists, _ = jax.lax.scan(chunk, jnp.zeros((H, W), bool),
-                             jnp.arange(-(-D // CH)) * CH)
+    exists = jnp.zeros((H, W), bool)
+    match = jnp.zeros((H, W), bool)
+    for d in range(D):
+        t = jax.lax.slice(pd1, (0, D - d), (H, D - d + W))
+        exists = exists | (jnp.abs(jnp.asarray(d, t.dtype) - t) < 1.1)
+        match = match | ((d0i == d) & (jnp.abs(d0 - t) < 1.1))
     out = jnp.where(exists, MISMATCH, OCCLUSION).astype(jnp.float32)
     out = jnp.where(match & ~off_frame, MATCH, out)
     out = jnp.where(off_frame, OCCLUSION, out)
@@ -64,17 +59,24 @@ def outlier_detection(d0: jnp.ndarray, d1: jnp.ndarray, disp_max: int) -> jnp.nd
 def interpolate_occlusion(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
     """Fill occluded pixels with the nearest *match* pixel's disparity to
     the left; if none exists, nearest to the right; else keep
-    (adcensus.cu:1079-1104). Implemented as two prefix max-scans."""
-    H, W = d0.shape
-    xs = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    (adcensus.cu:1079-1104).
+
+    One "rightmost match value so far" associative scan per side —
+    the value rides IN the scan carry, so there is no index cummax and
+    no per-pixel gather afterwards (take_along_axis lowers to a gather,
+    ~6 ms/map on TPU vs ~1 ms for the pure-select scan)."""
     is_match = outlier == MATCH
-    left_idx = jax.lax.cummax(jnp.where(is_match, xs, -1), axis=1)
-    right_rev = jax.lax.cummax(jnp.where(is_match, W - 1 - xs, -1)[:, ::-1], axis=1)[:, ::-1]
-    right_idx = jnp.where(right_rev >= 0, W - 1 - right_rev, W)
-    left_val = jnp.take_along_axis(d0, jnp.clip(left_idx, 0, W - 1), axis=1)
-    right_val = jnp.take_along_axis(d0, jnp.clip(right_idx, 0, W - 1), axis=1)
-    fill = jnp.where(left_idx >= 0, left_val,
-                     jnp.where(right_idx < W, right_val, d0))
+    mval = jnp.where(is_match, d0, 0.0)
+
+    def op(a, b):  # b is closer to the pixel: take it if it has a match
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    lv, lh = jax.lax.associative_scan(op, (mval, is_match), axis=1)
+    rv, rh = jax.lax.associative_scan(op, (mval, is_match), axis=1,
+                                      reverse=True)
+    fill = jnp.where(lh, lv, jnp.where(rh, rv, d0))
     return jnp.where(outlier == OCCLUSION, fill, d0)
 
 
@@ -183,7 +185,9 @@ def interpolate_mismatch(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
     vals = jnp.stack(vals_list)
     cnt = has.sum(axis=0)
     sorted_vals = jnp.sort(jnp.where(has, vals, jnp.inf), axis=0)
-    med = jnp.take_along_axis(sorted_vals, (cnt // 2)[None], axis=0)[0]
+    ks = jnp.arange(len(_RAY_DIRS), dtype=cnt.dtype)[:, None, None]
+    med = jnp.sum(jnp.where(ks == (cnt // 2)[None], sorted_vals, 0.0),
+                  axis=0)  # one-hot select, not a gather
     fill = jnp.where(cnt > 0, med, d0)
     return jnp.where(is_mm, fill, d0)
 
@@ -236,7 +240,10 @@ def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     ok = jnp.stack(valid)
     cnt = ok.sum(axis=0)
     s = jnp.sort(jnp.where(ok, vals, jnp.inf), axis=0)
-    return jnp.take_along_axis(s, (cnt // 2)[None], axis=0)[0]
+    # one-hot select instead of take_along_axis: k*k masked adds beat a
+    # per-pixel gather on TPU by a wide margin
+    ks = jnp.arange(s.shape[0], dtype=cnt.dtype)[:, None, None]
+    return jnp.sum(jnp.where(ks == (cnt // 2)[None], s, 0.0), axis=0)
 
 
 def gaussian_kernel(sigma: float) -> np.ndarray:
