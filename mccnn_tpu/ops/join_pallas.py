@@ -45,15 +45,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-XB = 128  # output columns per grid step
+XB = 128  # output columns per grid step (measured optimum on v5e:
+          # 192/256 either exceed the kernel's VMEM budget or run
+          # slower — the shear's rolled copies scale with XB*SLAB)
 YB = 8    # rows per grid step (amortizes per-step overhead)
 
 
-def _join_plus(feat_a: jnp.ndarray, feat_b: jnp.ndarray, disp_max: int,
-               W: int, n_fix: int, interpret: bool) -> jnp.ndarray:
+def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
+               disp_max: int, W: int, H: int, n_fix: int,
+               interpret: bool) -> jnp.ndarray:
     """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
-    d >= disp_max, with rows x < n_fix replaced by row n_fix
-    (fix_border). feat_a/feat_b: (Hp, Wp, Cp), already padded.
+    d >= disp_max or y >= H (pad rows, masked at write time — a
+    post-hoc where would re-stream the whole volume), with rows
+    x < n_fix replaced by row n_fix (fix_border). feat_a: (Hp, Wp, Cp);
+    feat_b_pad: (Hp, Wp + XB + Dp, Cp) — b padded on x by the slab
+    overhang at prep time so no second pad pass runs per call.
     Returns (Hp, Wp, Dp) float32.
     """
     Hp, Wp, Cp = feat_a.shape
@@ -61,7 +67,7 @@ def _join_plus(feat_a: jnp.ndarray, feat_b: jnp.ndarray, disp_max: int,
     Dp = -(-D // 128) * 128
     SLAB = XB + Dp
     assert Hp % YB == 0 and Wp % XB == 0
-    feat_b_pad = jnp.pad(feat_b, ((0, 0), (0, SLAB), (0, 0)))
+    assert feat_b_pad.shape[1] == Wp + SLAB
 
     def kernel(a_ref, b_hbm, out_ref, slab, sem):
         xb = pl.program_id(1)
@@ -100,7 +106,11 @@ def _join_plus(feat_a: jnp.ndarray, feat_b: jnp.ndarray, disp_max: int,
         blk = B[:, :, :Dp]  # (YB, XB, Dp)
         x = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1) + xb * XB
         d = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
-        blk = jnp.where((x + d < W) & (d < D), -blk, jnp.nan)
+        keep = (x + d < W) & (d < D)
+        if Hp > H:  # feature pad rows produce -0 dots; emit NaN rows
+            yy = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) + y * YB
+            keep = keep & (yy < H)
+        blk = jnp.where(keep, -blk, jnp.nan)
         if n_fix > 0:
             @pl.when(xb == 0)
             def _():
@@ -157,25 +167,25 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     both frames by the mirror symmetry).
     """
     H, W, C = feat_l.shape
+    D = disp_max
     Wp = -(-W // XB) * XB
     Cp = -(-C // 128) * 128
     Hp = -(-H // YB) * YB
+    Dp = -(-D // 128) * 128
+    SLAB = XB + Dp
 
-    def prep(f, flip):
+    def prep(f, flip, slab):
         if flip:
             f = f[:, ::-1]
-        return jnp.pad(f, ((0, Hp - H), (0, Wp - W), (0, Cp - C)))
+        return jnp.pad(f, ((0, Hp - H), (0, Wp - W + (SLAB if slab else 0)),
+                           (0, Cp - C)))
 
-    fr_n = prep(feat_r, False)
-    fl_n = prep(feat_l, False)
-    fl_f = prep(feat_l, True)
-    fr_f = prep(feat_r, True)
-    vol_r = _join_plus(fr_n, fl_n, disp_max, W, n_fix, interpret)
-    vol_l_xrev = _join_plus(fl_f, fr_f, disp_max, W, n_fix, interpret)
-    # pad rows y >= H to NaN (feature pad rows produce -0 dots)
-    ys = jnp.arange(Hp)[:, None, None]
-    vol_r = jnp.where(ys < H, vol_r, jnp.nan)
-    vol_l_xrev = jnp.where(ys < H, vol_l_xrev, jnp.nan)
+    vol_r = _join_plus(prep(feat_r, False, False),
+                       prep(feat_l, False, True), D, W, H, n_fix,
+                       interpret)
+    vol_l_xrev = _join_plus(prep(feat_l, True, False),
+                            prep(feat_r, True, True), D, W, H, n_fix,
+                            interpret)
     return vol_l_xrev, vol_r
 
 
