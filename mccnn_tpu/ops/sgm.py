@@ -843,7 +843,7 @@ def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
     assert Dp == -(-D // 128) * 128 and Hp % 8 == 0 and Wp % 128 == 0
 
     # ---- vertical family (sgm_dir 2: v, 3: ^): steps = y ----------------
-    St_v = 128  # Wp is a multiple of 128
+    St_v = 256 if Wp % 256 == 0 else 128
     n_rev_v = (Wp // St_v) if xrev else 0
     GLv = -(-(D + Wp + Dp + 256) // 128) * 128
     HL = -(-H // 128) * 128

@@ -329,3 +329,29 @@ def test_rowsharded_predict_vs_single():
         os.environ.pop("MCCNN_SGM_HSLAB", None)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mb_halfres_scale_fits():
+    """BASELINE.md: 'Middlebury half-res accurate config must fit via
+    tiling/halo sharding (reference needs a 12 GB GPU)'. One v5e chip
+    (16 GB) must run the full fast pipeline at MB half-res scale
+    (~1000x1500, D=200) without OOM — the HWD lane never materializes
+    the (D, H, W) volumes in disparity-major form and the slab sweeps
+    stream them. MB method config (no LR outliers: kitti=False path)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+
+    cfg = make_config("mb", "fast", a="predict")
+    params = init_params(cfg)
+    rng = np.random.RandomState(5)
+    H, W, D = 1000, 1500, 200
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0, x1 = base[:, D:], base[:, :-D]
+    d = pipe.stereo_predict(cfg, params, x0, x1, D)
+    d = np.asarray(d)
+    assert d.shape == (H, W)
+    assert np.isfinite(d).all()
+    assert d.min() >= 0 and d.max() < D
