@@ -57,25 +57,30 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
     """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
     d >= disp_max or y >= H (pad rows, masked at write time — a
     post-hoc where would re-stream the whole volume), with rows
-    x < n_fix replaced by row n_fix (fix_border). feat_a: (Hp, Wp, Cp);
-    feat_b_pad: (Hp, Wp + XB + Dp, Cp) — b padded on x by the slab
+    x < n_fix replaced by row n_fix (fix_border).
+
+    Feature layout is channel-MAJOR (Hp, C, Wp): x on lanes, so C=64
+    maps carry no lane padding (the (H, W, C) layout wasted half of
+    every feature DMA on the 64->128 lane pad) and the MXU contraction
+    runs over sublanes — the native matmul orientation.
+    feat_b_pad: (Hp, C, Wp + XB + Dp) — b padded on x by the slab
     overhang at prep time so no second pad pass runs per call.
     Returns (Hp, Wp, Dp) float32.
     """
-    Hp, Wp, Cp = feat_a.shape
+    Hp, C, Wp = feat_a.shape
     D = disp_max
     Dp = -(-D // 128) * 128
     SLAB = XB + Dp
-    assert Hp % YB == 0 and Wp % XB == 0
-    assert feat_b_pad.shape[1] == Wp + SLAB
+    assert Hp % YB == 0 and Wp % XB == 0 and C % 8 == 0
+    assert feat_b_pad.shape[2] == Wp + SLAB
 
     def kernel(a_ref, b_hbm, out_ref, slab, sem):
         xb = pl.program_id(1)
         y = pl.program_id(0)
         cp = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(y * YB, YB), pl.ds(xb * XB, SLAB), :], slab, sem)
+            b_hbm.at[pl.ds(y * YB, YB), :, pl.ds(xb * XB, SLAB)], slab, sem)
         cp.start()
-        a_blk = a_ref[:]  # (YB, XB, Cp)
+        a_blk = a_ref[:]  # (YB, C, XB)
         cp.wait()
         # bf16x3 matmul (hand-split: Mosaic lowers only DEFAULT and
         # HIGHEST): ~1e-7 relative of the reference's f32 CUDA dot
@@ -89,9 +94,9 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         b_hi = b_blk.astype(jnp.bfloat16)
         b_lo = (b_blk - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        def mm(a, b):
+        def mm(a, b):  # contract over C (sublanes): (YB, XB, SLAB)
             return jax.lax.dot_general(
-                a, b, (((2,), (2,)), ((0,), (0,))),
+                a, b, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
 
         B = mm(a_hi, b_hi) + (mm(a_hi, b_lo) + mm(a_lo, b_hi))
@@ -133,14 +138,14 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         kernel,
         grid=(Hp // YB, Wp // XB),
         in_specs=[
-            pl.BlockSpec((YB, XB, Cp), lambda y, x: (y, x, 0),
+            pl.BlockSpec((YB, C, XB), lambda y, x: (y, 0, x),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((YB, XB, Dp), lambda y, x: (y, x, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((YB, SLAB, Cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((YB, C, SLAB), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(feat_a, feat_b_pad)
@@ -169,16 +174,17 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     H, W, C = feat_l.shape
     D = disp_max
     Wp = -(-W // XB) * XB
-    Cp = -(-C // 128) * 128
+    C8 = -(-C // 8) * 8
     Hp = -(-H // YB) * YB
     Dp = -(-D // 128) * 128
     SLAB = XB + Dp
 
     def prep(f, flip, slab):
+        f = jnp.moveaxis(f, -1, 1)  # (H, C, W): see _join_plus layout
         if flip:
-            f = f[:, ::-1]
-        return jnp.pad(f, ((0, Hp - H), (0, Wp - W + (SLAB if slab else 0)),
-                           (0, Cp - C)))
+            f = f[:, :, ::-1]
+        return jnp.pad(f, ((0, Hp - H), (0, C8 - C),
+                           (0, Wp - W + (SLAB if slab else 0))))
 
     vol_r = _join_plus(prep(feat_r, False, False),
                        prep(feat_l, False, True), D, W, H, n_fix,
