@@ -175,7 +175,10 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     D = disp_max
     Wp = -(-W // XB) * XB
     C8 = -(-C // 8) * 8
-    Hp = -(-H // YB) * YB
+    # rows padded to a multiple of 64 (not just YB): the natural-layout
+    # horizontal SGM sweeps (_sweep_stream_hnat) tile scanlines in
+    # 64-multiples that must divide Hp exactly
+    Hp = -(-H // 64) * 64
     Dp = -(-D // 128) * 128
     SLAB = XB + Dp
 

@@ -393,6 +393,257 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
     return out
 
 
+def _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc, budget=13_000_000):
+    """Scanline tile for :func:`_sweep_stream_hnat`: the largest tile
+    dividing Hp whose kernel VMEM footprint (double-buffered
+    (St, K, Dp) vol/out(/acc) blocks + wavefront state + penalty
+    slabs) fits the ~16 MB/core budget with headroom."""
+    nbuf = 3 if with_acc else 2
+    for st in (256, 192, 128, 64):
+        if Hp % st:
+            continue
+        vmem = (nbuf * 2 * st * K * Dp + st * Dp + st * (WLp + GL)) * 4
+        if vmem <= budget:
+            return st
+    raise ValueError(f"no scanline tile divides Hp={Hp} within VMEM")
+
+
+def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
+                       pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir,
+                       St, K=8, acc=None, wta=False, write_out=True,
+                       interpret=False):
+    """Horizontal streaming sweep consuming the NATURAL (Sp, Tp, Dp)
+    layout — scanlines (image rows) on the major axis, sweep steps (x)
+    on the middle axis — so the HWD lane's horizontal family needs no
+    (W, H) volume transpose at all.
+
+    Steps are DMA'd in groups of K: a (St, K, Dp) block is St rows of
+    K*Dp*4 bytes at stride Tp*Dp*4, which sustains ~sequential HBM
+    bandwidth on v5e (measured 232 vs 237 GB/s contiguous at K=8),
+    while per-step (St, 1, Dp) reads would be 1 KB chunks. The
+    recurrence runs over the K in-VMEM steps (unrolled; the backward
+    sweep visits groups and in-group steps in reverse). Pad steps
+    x >= T pass the volume through untouched (keeping NaN pad columns
+    NaN) and do not advance the wavefront; the init step is x == 0
+    (forward) or x == T-1 (backward), so tail groups with pad steps
+    need no special casing.
+
+    vol: (Sp, Tp, Dp) with Sp % St == 0 and ceil(T/K)*K <= Tp.
+    d1_slab: (Sp, WLp) per-scanline D1 rows, lane x = step x — WLp must
+    be >= ceil((T+K-1)/128)*128 + 128 (the aligned-window load at the
+    last group's steps reads one tile past x).
+    g_slab: (Sp, GL) per-scanline D2 rows at lane offset D (lane-
+    reversed by the caller for x-reversed storage); GL likewise needs
+    K extra headroom past W + D + Dp + 128.
+    acc: optional (Sp, Tp, Dp) accumulator, aliased in place — the
+    four sweeps of :func:`_sgm_slab_hwd` chain through it so the sum
+    needs no separate add pass, and unwritten pad regions keep the
+    accumulator's (NaN) contents.
+
+    wta: also emit the winner-take-all map of the accumulated values
+    (fused WTA for the FINAL sweep: the per-pixel lane vector is final
+    the moment this sweep writes it, so the argmin rides the stream
+    and the (Sp, Tp, Dp) volume never needs a separate WTA read).
+    Per real step the (St,) argmin column lands in a (St, 128) VMEM
+    block at lane x % 128 (a broadcast-compare select — no dynamic
+    lane stores), flushed to HBM whenever a 128-lane block completes.
+    Ties and NaN semantics match :func:`mccnn_tpu.ops.costs.wta_hwd`.
+    write_out=False skips materializing the accumulated volume
+    entirely (the right direction's volume is consumed only by its
+    WTA map, so its final sweep saves a full volume write).
+
+    Returns out, (out, wta_map), or wta_map per the flags.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Sp, Tp, Dp = vol.shape
+    G = -(-T // K)
+    assert Sp % St == 0 and G * K <= Tp
+    assert write_out or (wta and acc is not None)
+    assert Tp % 128 == 0 and 128 % K == 0
+    WLp = d1_slab.shape[1]
+    GL = g_slab.shape[1]
+    p1a_div = alpha1 if sgm_dir == 2 else 1.0
+    p1b_div = alpha1 if sgm_dir == 3 else 1.0
+    with_acc = acc is not None
+    init_x = (T - 1) if reverse_steps else 0
+    GPB = 128 // K  # DMA groups per WTA flush block
+
+    def kernel(*refs):
+        it = iter(refs)
+        vol_hbm, d1_hbm, g_hbm = next(it), next(it), next(it)
+        acc_hbm = next(it) if with_acc else None
+        out_hbm = next(it) if write_out else None
+        wta_hbm = next(it) if wta else None
+        vol_b = next(it)
+        acc_b = next(it) if with_acc else None
+        out_b = next(it) if write_out else None
+        prev, d1_v, g_v = next(it), next(it), next(it)
+        wta_v = next(it) if wta else None
+        in_sems = next(it)
+        acc_sems = next(it) if with_acc else None
+        out_sems = next(it) if write_out else None
+        wta_sem = next(it) if wta else None
+        slab_sems = next(it)
+        s = pl.program_id(0)
+        cp_d1 = pltpu.make_async_copy(
+            d1_hbm.at[pl.ds(s * St, St), :], d1_v, slab_sems.at[0])
+        cp_g = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(s * St, St), :], g_v, slab_sems.at[1])
+        cp_d1.start()
+        cp_g.start()
+
+        def group(tg):
+            return (G - 1 - tg) if reverse_steps else tg
+
+        def in_dma(slot, tg):
+            g = group(tg)
+            dmas = [pltpu.make_async_copy(
+                vol_hbm.at[pl.ds(s * St, St), pl.ds(g * K, K), :],
+                vol_b.at[slot], in_sems.at[slot])]
+            if with_acc:
+                dmas.append(pltpu.make_async_copy(
+                    acc_hbm.at[pl.ds(s * St, St), pl.ds(g * K, K), :],
+                    acc_b.at[slot], acc_sems.at[slot]))
+            return dmas
+
+        def out_dma(slot, tg):
+            g = group(tg)
+            return pltpu.make_async_copy(
+                out_b.at[slot], out_hbm.at[pl.ds(s * St, St),
+                                           pl.ds(g * K, K), :],
+                out_sems.at[slot])
+
+        for d in in_dma(0, 0):
+            d.start()
+        cp_d1.wait()
+        cp_g.wait()
+
+        def body(tg, _):
+            slot = jax.lax.rem(tg, 2)
+            nxt = jax.lax.rem(tg + 1, 2)
+
+            @pl.when(tg + 1 < G)
+            def _():
+                for d in in_dma(nxt, tg + 1):
+                    d.start()
+            for d in in_dma(slot, tg):
+                d.wait()
+
+            if write_out:
+                @pl.when(tg > 1)
+                def _():
+                    out_dma(slot, tg - 2).wait()
+
+            g = group(tg)
+            ks = range(K - 1, -1, -1) if reverse_steps else range(K)
+            for k in ks:
+                x = g * K + k
+                vol_k = vol_b[slot][:, k, :]
+                p = prev[:]
+                pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
+                             keepdims=True)
+                off = x + D
+                off_al = pl.multiple_of((off // 128) * 128, 128)
+                rem = off - off_al
+                gwin = g_v[:, pl.ds(off_al, Dp + 128)]
+                D2 = pltpu.roll(gwin, (Dp + 128) - rem, axis=1)[:, :Dp]
+                x_al = pl.multiple_of((x // 128) * 128, 128)
+                dwin = d1_v[:, pl.ds(x_al, 128)]
+                D1 = pltpu.roll(dwin, 128 - (x - x_al), axis=1)[:, :1]
+                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
+                dn = jnp.where(lane == D - 1, _BIG,
+                               pltpu.roll(p, Dp - 1, axis=1))
+                cost = jnp.fmin(p, pm + P2)
+                cost = jnp.fmin(cost, up + P1 / p1a_div)
+                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                # scalar-predicate selects instead of control flow: the
+                # init step takes the raw volume, pad steps pass the
+                # volume through and do not advance the wavefront (the
+                # wasted recurrence math only ever runs on tail-group
+                # pad steps)
+                val = jnp.where(x == init_x, vol_k, vol_k + cost - pm)
+                is_pad = x >= T
+                outv = jnp.where(is_pad, vol_k, val)
+                final = (outv + acc_b[slot][:, k, :]) if with_acc else outv
+                if write_out:
+                    out_b[slot, :, k, :] = final
+                if wta:
+                    # winner lane of the final per-pixel vector, into
+                    # lane x % 128 of the flush block (broadcast-
+                    # compare select; ties and all-NaN -> lowest lane,
+                    # matching costs.wta_hwd)
+                    fin = jnp.where(jnp.isnan(final), _BIG, final)
+                    m = jnp.min(fin, axis=-1, keepdims=True)
+                    arg = jnp.min(jnp.where(fin == m, lane, Dp), axis=-1,
+                                  keepdims=True)
+                    arg = jnp.where(arg >= Dp, 0, arg).astype(jnp.float32)
+                    wl = jax.lax.broadcasted_iota(jnp.int32, (St, 128), 1)
+                    wta_v[:] = jnp.where(
+                        wl == jax.lax.rem(x, 128), arg, wta_v[:])
+                prev[:] = jnp.where(is_pad, p, val)
+            if write_out:
+                out_dma(slot, tg).start()
+            if wta:
+                # flush the (St, 128) block when its last group is done
+                # (backward sweeps complete a block at its LOWEST group)
+                done = (jax.lax.rem(g, GPB) == (0 if reverse_steps
+                                                else GPB - 1))
+
+                @pl.when(done | (tg == G - 1))
+                def _():
+                    blk = g // GPB
+                    cp = pltpu.make_async_copy(
+                        wta_v, wta_hbm.at[pl.ds(s * St, St),
+                                          pl.ds(blk * 128, 128)],
+                        wta_sem)
+                    cp.start()
+                    cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
+        if write_out:
+            out_dma(jax.lax.rem(G - 1, 2), G - 1).wait()
+
+            @pl.when(G > 1)
+            def _():
+                out_dma(jax.lax.rem(G - 2, 2), G - 2).wait()
+
+    scratch = [
+        pltpu.VMEM((2, St, K, Dp), vol.dtype),              # vol_b
+    ] + ([pltpu.VMEM((2, St, K, Dp), vol.dtype)] if with_acc else []) + (
+        [pltpu.VMEM((2, St, K, Dp), vol.dtype)] if write_out else []) + [
+        pltpu.VMEM((St, Dp), vol.dtype),                    # prev
+        pltpu.VMEM((St, WLp), vol.dtype),                   # d1 slab
+        pltpu.VMEM((St, GL), vol.dtype),                    # g slab
+    ] + ([pltpu.VMEM((St, 128), jnp.float32)] if wta else []) + [
+        pltpu.SemaphoreType.DMA((2,)),                      # in_sems
+    ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + (
+        [pltpu.SemaphoreType.DMA((2,))] if write_out else []) + (
+        [pltpu.SemaphoreType.DMA(())] if wta else []) + [
+        pltpu.SemaphoreType.DMA((2,)),                      # slab_sems
+    ]
+    operands = [vol, d1_slab, g_slab] + ([acc] if with_acc else [])
+    out_shapes = ([jax.ShapeDtypeStruct((Sp, Tp, Dp), vol.dtype)]
+                  if write_out else []) + (
+        [jax.ShapeDtypeStruct((Sp, Tp), jnp.float32)] if wta else [])
+    res = pl.pallas_call(
+        kernel,
+        grid=(Sp // St,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        input_output_aliases=({3: 0} if (with_acc and write_out) else {}),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*operands)
+    return res[0] if len(res) == 1 else tuple(res)
+
+
 def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                         reverse_steps, D, pi1, pi2, tau_so, alpha1, q1, q2,
                         sgm_dir, St=256, acc=None, T=None):
@@ -807,17 +1058,8 @@ def _sgm_slab(x0, x1, vols, dirs, D, H, W, pi1, pi2, tau_so, alpha1, q1, q2):
     return {d: h[d] + v[d] for d in dirs}
 
 
-def _pick_st_div(n: int):
-    """Largest scanline tile in [128, 256] (multiple of 8) that divides
-    n exactly, or None."""
-    for st in range(256, 127, -8):
-        if n % st == 0:
-            return st
-    return None
-
-
 def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
-                  q1, q2):
+                  q1, q2, wta=False, materialize=True):
     """Four sweeps summed for ONE reference direction, consuming the
     join's native padded disparity-minor layout (ops/join_pallas.py).
 
@@ -832,15 +1074,29 @@ def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
     No volume relayout for the x-reversed direction: a natural ->
     sweep over x IS a reversed-step sweep over the stored axis, and
     the penalty slabs are lane-reversed instead (the mirror identity
-    g_nat[x - d + D] == rev(g_nat)[x' + d + D] at x' = W-1-x). The
-    vertical family consumes the buffer directly; the horizontal
-    family pays the one unavoidable (W, H) transpose. Sweeps take an
-    explicit step count so the pad rows/columns are never touched
-    (the up/backward sweeps must INIT on the last REAL step — an
-    all-NaN pad init would poison the recurrence).
+    g_nat[x - d + D] == rev(g_nat)[x' + d + D] at x' = W-1-x). BOTH
+    families consume the (Hp, Wp, Dp) buffer directly — the
+    horizontal sweeps read/write K-step-grouped strided blocks
+    (:func:`_sweep_stream_hnat`), so no transpose ever touches the
+    volume — and all four sweeps chain through one in-place
+    accumulator, so no add pass does either. Sweeps take an explicit
+    step count so pad steps never poison the recurrence (the
+    up/backward sweeps must INIT on the last REAL step).
+
+    Returns the FULL (Hp, Wp, Dp) buffer: real rows carry NaN at
+    columns x' >= W, pad rows y >= H are NaN-or-garbage — callers
+    slice [:H]. Requires Hp divisible by a 64-multiple scanline tile
+    (the join pads rows to 64).
+
+    wta: also return the fused winner-take-all map (Hp, Wp) computed
+    inside the final sweep as the summed values stream past — the
+    volume needs no separate WTA read. materialize=False (requires
+    wta) skips writing the final sweep's volume entirely and returns
+    only the map (the right direction's volume is consumed ONLY by
+    its WTA map in the fast pipeline).
     """
     Hp, Wp, Dp = vol.shape
-    assert Dp == -(-D // 128) * 128 and Hp % 8 == 0 and Wp % 128 == 0
+    assert Dp == -(-D // 128) * 128 and Hp % 64 == 0 and Wp % 128 == 0
 
     # ---- vertical family (sgm_dir 2: v, 3: ^): steps = y ----------------
     St_v = 256 if Wp % 256 == 0 else 128
@@ -865,37 +1121,34 @@ def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
             T=H)
 
     # ---- horizontal family (sgm_dir 0: ->, 1: <-): steps = x ------------
-    vol_t = jnp.transpose(vol, (1, 0, 2))  # (Wp, Hp, Dp)
-    St_h = _pick_st_div(Hp)
-    if St_h is None:
-        St_h = _pick_st(Hp)
-        Sp_h = -(-Hp // St_h) * St_h
-        vol_t = jnp.pad(vol_t, ((0, 0), (0, Sp_h - Hp), (0, 0)),
-                        constant_values=jnp.nan)
-    Sp_h = vol_t.shape[1]
-    GL = -(-(W + D + Dp + 128) // 128) * 128
-    WLp = -(-W // 128) * 128
-    acc_h = None
+    # consumes the natural layout via K-step strided DMA groups and
+    # chains the accumulator from the vertical family — no transpose,
+    # no add pass.
+    K = 8
+    GL = -(-(W + K + D + Dp + 128) // 128) * 128
+    WLp = -(-W // 128) * 128 + 128  # headroom for the tail group's load
+    St_h = _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc=True)
+    acc = acc_v
     # For the x-reversed storage the natural -> sweep (sgm_dir 0) runs
     # the stored steps in REVERSE, and both passes read lane-reversed
     # slabs; the natural storage is the familiar pairing.
     for sgm_dir, dx in ((0, 1), (1, -1)):
+        last = sgm_dir == 1
         reverse_steps = (dx == -1) != xrev
         d1 = _grad_with_sentinel(x0, axis=1, step=dx)  # (H, W), lane x
         g_core = _d2_columns(x1, dx, 0, 1, D)          # (H, W+2D)
         if xrev:
             d1 = d1[:, ::-1]
             g_core = g_core[:, ::-1]
-        d1_slab = jnp.pad(d1, ((0, Sp_h - H), (0, WLp - W)))
-        g_slab = jnp.pad(g_core, ((0, Sp_h - H), (0, GL - g_core.shape[1])),
+        d1_slab = jnp.pad(d1, ((0, Hp - H), (0, WLp - W)))
+        g_slab = jnp.pad(g_core, ((0, Hp - H), (0, GL - g_core.shape[1])),
                          constant_values=10.0)
-        acc_h = _sweep_stream_hslab(
-            vol_t, d1_slab, g_slab, 0, reverse_steps, D, 0,
-            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_h, acc=acc_h,
-            T=W)
-
-    # pad columns x' >= W come out NaN (NaN + garbage = NaN)
-    return acc_v[:H] + jnp.transpose(acc_h, (1, 0, 2))[:H]
+        acc = _sweep_stream_hnat(
+            vol, d1_slab, g_slab, reverse_steps, D, W,
+            pi1, pi2, tau_so, alpha1, q1, q2, sgm_dir, St=St_h, K=K,
+            acc=acc, wta=wta and last,
+            write_out=materialize or not last)
+    return acc
 
 
 def _sgm_multi(x0, x1, vols: dict, *, pi1, pi2, tau_so, alpha1, sgm_q1,

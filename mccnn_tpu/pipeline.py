@@ -250,13 +250,26 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
         for i in range(sgm_i):
             if i > 0:  # sgm_i is 1 in every config; keep re-iteration exact
                 cur_lr, cur_r = cur_lr / 4.0, cur_r / 4.0
+            last = i == sgm_i - 1
+            # final iteration: WTA fused into the last sweep (the
+            # volume never needs a separate argmin read); the right
+            # volume is consumed ONLY by its WTA map, so unless the
+            # caller wants the volume dumps its final sweep skips the
+            # volume write altogether.
             cur_lr = sgm_mod._sgm_slab_hwd(x0, x1, cur_lr, D, H, W,
-                                           xrev=True, **kw)
-            cur_r = sgm_mod._sgm_slab_hwd(x0, x1, cur_r, D, H, W,
-                                          xrev=False, **kw)
-
-    d_l = costs.wta_hwd(cur_lr)[:H, :W][:, ::-1]
-    d_r = costs.wta_hwd(cur_r)[:H, :W]
+                                           xrev=True, wta=last, **kw)
+            out_r = sgm_mod._sgm_slab_hwd(
+                x0, x1, cur_r, D, H, W, xrev=False, wta=last,
+                materialize=return_vols or not last, **kw)
+            cur_r = out_r if not last else (
+                out_r[0] if return_vols else None)
+        cur_lr, wta_l = cur_lr
+        wta_r = out_r[1] if return_vols else out_r
+        d_l = wta_l[:H, :W][:, ::-1]
+        d_r = wta_r[:H, :W]
+    else:
+        d_l = costs.wta_hwd(cur_lr)[:H, :W][:, ::-1]
+        d_r = costs.wta_hwd(cur_r)[:H, :W]
     d_final = d_l
     sm_active = _active_after(sm_terminate, "cbca2")
 

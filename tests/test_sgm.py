@@ -52,3 +52,69 @@ def test_sgm_alpha1_affects_vertical_only():
     a = np.asarray(sgm_mod.sgm(x0, x1, vol, direction=-1, **PARAMS))
     b = np.asarray(sgm_mod.sgm(x0, x1, vol, direction=-1, **p2))
     assert not np.allclose(a, b)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sweep_hnat_interpret_vs_scan(reverse):
+    """The natural-layout K-batched horizontal sweep (the HWD lane's
+    production horizontal kernel, _sweep_stream_hnat) against the
+    lax.scan sweep in interpret mode, including the accumulator chain,
+    the fused WTA map, and the write_out=False (WTA-only) variant.
+    The TPU lane re-validates the same kernel on hardware
+    (tests/test_tpu_kernels.py)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11 + reverse)
+    Sp, Tp, Dp = 64, 256, 128   # padded scanlines / steps / lanes
+    T, D, K = 250, 100, 8       # real steps / disparities
+    vol = rng.rand(Sp, Tp, Dp).astype(np.float32)
+    vol[:, :, D:] = np.nan
+    vol[:, T:, :] = np.nan
+    vol[rng.rand(Sp, Tp, Dp) < 0.05] = np.nan
+    WLp = -(-T // 128) * 128 + 128
+    GL = -(-(T + K + D + Dp + 128) // 128) * 128
+    d1 = (rng.rand(Sp, WLp) * 0.1).astype(np.float32)
+    g = (rng.rand(Sp, GL) * 0.1).astype(np.float32)
+    g[rng.rand(Sp, GL) < 0.05] = 10.0
+    args = (PARAMS["pi1"], PARAMS["pi2"], PARAMS["tau_so"],
+            PARAMS["alpha1"], PARAMS["sgm_q1"], PARAMS["sgm_q2"])
+
+    def hnat(sgm_dir, **kw):
+        return sgm_mod._sweep_stream_hnat(
+            jnp.asarray(vol), jnp.asarray(d1), jnp.asarray(g), reverse,
+            D, T, *args, sgm_dir, St=64, K=K, interpret=True, **kw)
+
+    sgm_dir = 1 if reverse else 0
+    got = np.asarray(hnat(sgm_dir))
+
+    # scan oracle: steps-major layout, D2[t, s, d] = g[s, t + D + d]
+    vol_s = np.transpose(vol[:, :T, :], (1, 0, 2))
+    d1_s = np.transpose(d1[:, :T], (1, 0))
+    d2_s = np.stack([g[:, x + D:x + D + Dp] for x in range(T)])
+    if reverse:
+        vol_s, d1_s, d2_s = vol_s[::-1], d1_s[::-1], d2_s[::-1]
+    want = np.asarray(sgm_mod._sweep(
+        jnp.asarray(np.ascontiguousarray(vol_s)),
+        jnp.asarray(np.ascontiguousarray(d1_s)),
+        jnp.asarray(np.ascontiguousarray(d2_s)), *args, sgm_dir))
+    if reverse:
+        want = want[::-1]
+    want = np.transpose(want, (1, 0, 2))
+    assert np.array_equal(np.isnan(got[:, :T]), np.isnan(want))
+    assert np.nanmax(np.abs(got[:, :T] - want)) < 1e-5
+
+    # accumulator chain + fused WTA + volume-less WTA
+    acc = hnat(sgm_dir)
+    summed, wmap = hnat(1 - sgm_dir, acc=acc, wta=True)
+    summed, wmap = np.asarray(summed), np.asarray(wmap)
+    ref_sum = np.asarray(acc) + np.asarray(hnat(1 - sgm_dir))
+    assert np.nanmax(np.abs(summed[:, :T] - ref_sum[:, :T])) < 1e-5
+    want_wta = np.argmin(np.where(np.isnan(summed), np.inf, summed),
+                         axis=-1).astype(np.float32)
+    assert np.array_equal(wmap[:, :T], want_wta[:, :T])
+    wmap2 = np.asarray(hnat(1 - sgm_dir, acc=acc, wta=True,
+                            write_out=False))
+    assert np.array_equal(wmap2[:, :T], want_wta[:, :T])
+    # pad columns beyond the last DMA group keep the accumulator's NaN
+    GK = -(-T // K) * K
+    assert np.all(np.isnan(summed[:, GK:]))

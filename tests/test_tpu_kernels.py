@@ -257,6 +257,25 @@ def test_sgm_slab_hwd_vs_scan(xrev):
         use_pallas=False, **PARAMS)[direction])
     assert_close(got, want, tol=1e-4)
 
+    # fused WTA: the argmin map emitted by the final sweep must equal
+    # a separate WTA pass over the materialized volume, with and
+    # without the volume write (the volume-less variant is the
+    # production path for the right direction)
+    from mccnn_tpu.ops import costs
+
+    kw = dict(pi1=PARAMS["pi1"], pi2=PARAMS["pi2"],
+              tau_so=PARAMS["tau_so"], alpha1=PARAMS["alpha1"],
+              q1=PARAMS["sgm_q1"], q2=PARAMS["sgm_q2"])
+    vol2, wmap = sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=xrev,
+                                       wta=True, **kw)
+    want_wta = np.asarray(costs.wta_hwd(vol2))[:H, :W]
+    assert np.array_equal(np.asarray(vol2)[:H, :W, :D],
+                          np.asarray(got_hwd)[:H, :W, :D], equal_nan=True)
+    assert np.array_equal(np.asarray(wmap)[:H, :W], want_wta)
+    wmap2 = sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=xrev,
+                                  wta=True, materialize=False, **kw)
+    assert np.array_equal(np.asarray(wmap2)[:H, :W], want_wta)
+
 
 def test_fast_hwd_lane_vs_standard():
     """Full fast-arch pipeline: the HWD lane (fused tower->join->slab
