@@ -60,3 +60,69 @@ def test_bf16_compute_dtype_runs():
     params = init_params(cfg)
     disp = np.asarray(stereo_predict(cfg, params, X0, X1, D))
     assert np.isfinite(disp).all()
+
+
+def test_fast_hwd_lane_interpret_vs_standard(monkeypatch):
+    """The HWD fast lane (MXU join -> chained natural-layout slab SGM
+    -> fused WTA -> refinement) run off-TPU via interpret-mode Pallas
+    must match the standard DHW lane, for both the disparity-only and
+    the predict-mode (return_vols) outputs. This puts the production
+    TPU pipeline's orchestration (accumulator chaining, fused-WTA
+    unpacking, volume-less right direction) under the CPU suite; the
+    TPU lane re-validates the same path on hardware."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.ops import post
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    rng = np.random.RandomState(17)
+    H, W, D = 48, 200, 40
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = jnp.asarray(base[:, D:])
+    x1 = jnp.asarray(base[:, :-D])
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    common = dict(disp_max=D, kitti=True, ws=cfg.ws, dtype_name="float32",
+                  pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+                  tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+                  sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+                  sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
+                  sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip)
+
+    d_h, vl_h, vr_h = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                          return_vols=True, **common)
+    d_only = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                 return_vols=False, **common)
+    kwv = dict(D=D, H=H, W=W, scale4=True)
+    vl_h = pipe._hwd_unpack_vol(vl_h, xrev=True, **kwv)
+    vr_h = pipe._hwd_unpack_vol(vr_h, xrev=False, **kwv)
+
+    vols = pipe._volumes_jit(params, x0, x1, arch="fast", disp_max=D,
+                             ws=cfg.ws, dtype_name="float32",
+                             use_pallas=False)
+    d_s, vl_s, vr_s = pipe._method_jit(
+        vols, x0, x1, disp_max=D, directions=(1, -1), kitti=True,
+        L1=int(cfg.L1), tau1=float(cfg.tau1), cbca_i1=0, cbca_i2=0,
+        pi1=float(cfg.pi1), pi2=float(cfg.pi2), tau_so=float(cfg.tau_so),
+        alpha1=float(cfg.alpha1), sgm_q1=float(cfg.sgm_q1),
+        sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
+        blur_kernel=blur_kernel, blur_t=float(cfg.blur_t),
+        sm_terminate="", sm_skip="", return_vols=True, sgm_pallas=False)
+
+    assert np.array_equal(np.asarray(d_h), np.asarray(d_only))
+    for name, a, b in (("volL", vl_h, vl_s), ("volR", vr_h, vr_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), name
+        assert np.nanmax(np.abs(a - b)) < 1e-3, name
+    d_h, d_s = np.asarray(d_h), np.asarray(d_s)
+    assert float((np.abs(d_h - d_s) > 0.51).mean()) < 0.01
