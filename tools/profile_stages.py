@@ -84,6 +84,12 @@ def hwd_lane():
         a, b, v, D, H, W, xrev=False, **kw))
     cur_lr = timed("slab SGM (left, 4 sweeps)", sgm_l, x0, x1, vol_lr)
     cur_r = timed("slab SGM (right, 4 sweeps)", sgm_r, x0, x1, vol_r)
+    sgm_l_w = jax.jit(lambda a, b, v: sgm_mod._sgm_slab_hwd(
+        a, b, v, D, H, W, xrev=True, wta=True, **kw))
+    sgm_r_w = jax.jit(lambda a, b, v: sgm_mod._sgm_slab_hwd(
+        a, b, v, D, H, W, xrev=False, wta=True, materialize=False, **kw))
+    timed("slab SGM left + fused WTA", sgm_l_w, x0, x1, vol_lr)
+    timed("slab SGM right, WTA only (no vol)", sgm_r_w, x0, x1, vol_r)
     cur_lr = jax.device_put(np.asarray(cur_lr))
     cur_r = jax.device_put(np.asarray(cur_r))
 
