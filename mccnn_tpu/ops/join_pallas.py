@@ -152,11 +152,10 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("disp_max", "n_fix",
-                                             "interpret"))
+                                             "interpret", "sides"))
 def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
                         disp_max: int, n_fix: int = 0,
-                        interpret: bool = False
-                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                        interpret: bool = False, sides: str = "both"):
     """Both cost volumes in padded disparity-minor layout.
 
     feat_l/feat_r: (H, W, C) L2-normalized maps. Returns
@@ -170,6 +169,10 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     fix_border column replication in-kernel (per side, n_fix natural
     border columns on the side's own frame — identical row indices in
     both frames by the mirror symmetry).
+
+    sides="left" computes and returns only ``vol_l_xrev`` (the
+    Middlebury evaluation path runs the -1 reference direction alone,
+    main.lua:954-955).
     """
     H, W, C = feat_l.shape
     D = disp_max
@@ -189,12 +192,14 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
         return jnp.pad(f, ((0, Hp - H), (0, C8 - C),
                            (0, Wp - W + (SLAB if slab else 0))))
 
-    vol_r = _join_plus(prep(feat_r, False, False),
-                       prep(feat_l, False, True), D, W, H, n_fix,
-                       interpret)
     vol_l_xrev = _join_plus(prep(feat_l, True, False),
                             prep(feat_r, True, True), D, W, H, n_fix,
                             interpret)
+    if sides == "left":
+        return vol_l_xrev
+    vol_r = _join_plus(prep(feat_r, False, False),
+                       prep(feat_l, False, True), D, W, H, n_fix,
+                       interpret)
     return vol_l_xrev, vol_r
 
 

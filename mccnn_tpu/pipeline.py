@@ -211,7 +211,8 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
 
 def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
                    dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
-                   sgm_i, blur_t, sm_terminate, sm_skip, return_vols):
+                   sgm_i, blur_t, sm_terminate, sm_skip, return_vols,
+                   directions=(1, -1)):
     """The fast-arch pipeline in the join's native disparity-minor
     layout (TPU default when no CBCA is configured — every KITTI fast
     config has cbca_i1 = cbca_i2 = 0).
@@ -229,27 +230,36 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
 
     Stage gates (sm_terminate/sm_skip) follow main.lua:988-1080 like
     _method_jit; the CBCA stages do not exist in this lane.
+
+    directions=(-1,) (Middlebury evaluation, main.lua:954-955) builds
+    and processes only the left volume — half the join and SGM work.
     """
     from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
 
+    single = tuple(directions) == (-1,)
+    assert not (single and kitti)  # KITTI always runs both directions
     D = int(disp_max)
     H, W = x0.shape
     dtype = jnp.dtype(dtype_name)
     feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                arch="fast", padding="SAME", dtype=dtype)
     n_fix = (ws - 1) // 2
-    vol_lr, vol_r = stereo_join_mxu_hwd(
-        feats[0].astype(jnp.float32), feats[1].astype(jnp.float32), D,
-        n_fix=n_fix)
+    fl = feats[0].astype(jnp.float32)
+    fr = feats[1].astype(jnp.float32)
+    if single:
+        cur_lr = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix, sides="left")
+        cur_r = None
+    else:
+        cur_lr, cur_r = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix)
 
     sgm_ran = _active_after(sm_terminate, "cbca1") and sm_skip != "sgm"
-    cur_lr, cur_r = vol_lr, vol_r
     if sgm_ran:
         kw = dict(pi1=pi1, pi2=pi2, tau_so=tau_so, alpha1=alpha1,
                   q1=sgm_q1, q2=sgm_q2)
         for i in range(sgm_i):
             if i > 0:  # sgm_i is 1 in every config; keep re-iteration exact
-                cur_lr, cur_r = cur_lr / 4.0, cur_r / 4.0
+                cur_lr = cur_lr / 4.0
+                cur_r = None if single else cur_r / 4.0
             last = i == sgm_i - 1
             # final iteration: WTA fused into the last sweep (the
             # volume never needs a separate argmin read); the right
@@ -258,18 +268,21 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
             # volume write altogether.
             cur_lr = sgm_mod._sgm_slab_hwd(x0, x1, cur_lr, D, H, W,
                                            xrev=True, wta=last, **kw)
-            out_r = sgm_mod._sgm_slab_hwd(
-                x0, x1, cur_r, D, H, W, xrev=False, wta=last,
-                materialize=return_vols or not last, **kw)
-            cur_r = out_r if not last else (
-                out_r[0] if return_vols else None)
+            if not single:
+                out_r = sgm_mod._sgm_slab_hwd(
+                    x0, x1, cur_r, D, H, W, xrev=False, wta=last,
+                    materialize=return_vols or not last, **kw)
+                cur_r = out_r if not last else (
+                    out_r[0] if return_vols else None)
         cur_lr, wta_l = cur_lr
-        wta_r = out_r[1] if return_vols else out_r
         d_l = wta_l[:H, :W][:, ::-1]
-        d_r = wta_r[:H, :W]
+        if not single:
+            wta_r = out_r[1] if return_vols else out_r
+            d_r = wta_r[:H, :W]
     else:
         d_l = costs.wta_hwd(cur_lr)[:H, :W][:, ::-1]
-        d_r = costs.wta_hwd(cur_r)[:H, :W]
+        if not single:
+            d_r = costs.wta_hwd(cur_r)[:H, :W]
     d_final = d_l
     sm_active = _active_after(sm_terminate, "cbca2")
 
@@ -313,7 +326,7 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
 
 _fast_hwd_jit = functools.partial(jax.jit, static_argnames=(
     "disp_max", "kitti", "ws", "dtype_name", "sgm_i", "blur_t",
-    "sm_terminate", "sm_skip", "return_vols",
+    "sm_terminate", "sm_skip", "return_vols", "directions",
     "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))(_fast_hwd_body)
 
 
@@ -333,14 +346,15 @@ def _hwd_unpack_vol(vol, *, D, H, W, xrev, scale4):
 
 
 def _hwd_eligible(cfg: Config, directions, disp_max, disp_true) -> bool:
-    """The HWD lane covers the fast arch with no CBCA, both reference
-    directions, exact (non-bucketed) disparity range, no volume cache,
-    on the TPU Pallas default path."""
+    """The HWD lane covers the fast arch with no CBCA, exact
+    (non-bucketed) disparity range, no volume cache, on the TPU Pallas
+    default path — for both reference directions (KITTI, and MB
+    predict) or the left direction alone (MB evaluation)."""
     import os
 
     from mccnn_tpu.ops.sgm import _pallas_default
 
-    return (cfg.arch == "fast" and tuple(directions) == (1, -1)
+    return (cfg.arch == "fast" and tuple(directions) in ((1, -1), (-1,))
             and int(cfg.cbca_i1) == 0 and int(cfg.cbca_i2) == 0
             and (disp_true is None or int(disp_true) == int(disp_max))
             and not cfg.use_cache and not cfg.make_cache
@@ -403,7 +417,7 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
             sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
             sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
             sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
-            return_vols=return_vols)
+            return_vols=return_vols, directions=tuple(directions))
         if not return_vols:
             return out
         d_final, cur_lr, cur_r = out
@@ -412,7 +426,8 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
                    and cfg.sm_skip != "sgm")
         kw = dict(D=int(disp_max), H=int(H), W=int(W), scale4=sgm_ran)
         return (d_final, _hwd_unpack_vol(cur_lr, xrev=True, **kw),
-                _hwd_unpack_vol(cur_r, xrev=False, **kw))
+                None if cur_r is None
+                else _hwd_unpack_vol(cur_r, xrev=False, **kw))
     vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id,
                            disp_true=disp_true)
     return _method_jit(

@@ -126,3 +126,57 @@ def test_fast_hwd_lane_interpret_vs_standard(monkeypatch):
         assert np.nanmax(np.abs(a - b)) < 1e-3, name
     d_h, d_s = np.asarray(d_h), np.asarray(d_s)
     assert float((np.abs(d_h - d_s) > 0.51).mean()) < 0.01
+
+
+def test_fast_hwd_single_direction_interpret(monkeypatch):
+    """The single-direction HWD lane (Middlebury evaluation runs only
+    the -1 reference direction, main.lua:954-955: half the join/SGM
+    work, no outlier stage) must match the standard lane in
+    interpret-mode Pallas."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.ops import post
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    cfg = make_config("mb", "fast", a="test_te")
+    params = init_params(cfg)
+    rng = np.random.RandomState(23)
+    H, W, D = 48, 200, 40
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = jnp.asarray(base[:, D:])
+    x1 = jnp.asarray(base[:, :-D])
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+
+    d_h = pipe._fast_hwd_body(
+        params, x0, x1, blur_kernel, disp_max=D, kitti=False, ws=cfg.ws,
+        dtype_name="float32", pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+        tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+        sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+        sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
+        sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
+        return_vols=False, directions=(-1,))
+
+    vols = pipe._volumes_jit(params, x0, x1, arch="fast", disp_max=D,
+                             ws=cfg.ws, dtype_name="float32",
+                             use_pallas=False)
+    d_s = pipe._method_jit(
+        {-1: vols[-1]}, x0, x1, disp_max=D, directions=(-1,),
+        kitti=False, L1=int(cfg.L1), tau1=float(cfg.tau1), cbca_i1=0,
+        cbca_i2=0, pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+        tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+        sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+        sgm_i=int(cfg.sgm_i), blur_kernel=blur_kernel,
+        blur_t=float(cfg.blur_t), sm_terminate="", sm_skip="",
+        return_vols=False, sgm_pallas=False)
+
+    d_h, d_s = np.asarray(d_h), np.asarray(d_s)
+    assert float((np.abs(d_h - d_s) > 0.51).mean()) < 0.01
