@@ -51,13 +51,22 @@ XB = 128  # output columns per grid step (measured optimum on v5e:
 YB = 8    # rows per grid step (amortizes per-step overhead)
 
 
-def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
+def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
                disp_max: int, W: int, H: int, n_fix: int,
                interpret: bool) -> jnp.ndarray:
     """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
-    d >= disp_max or y >= H (pad rows, masked at write time — a
+    d >= d_true or y >= H (pad rows, masked at write time — a
     post-hoc where would re-stream the whole volume), with rows
     x < n_fix replaced by row n_fix (fix_border).
+
+    d_true: TRACED int32 scalar (1,) <= disp_max — the real disparity
+    count when disp_max was padded to a compile bucket. Lanes
+    d >= d_true come out NaN, which makes D-bucketing EXACT through
+    the whole HWD lane (NaN lanes never win WTA, never couple into
+    the SGM recurrence — fmin ignores them — and poison the subpixel
+    parabola at the d_true-1 boundary into keeping d, the same
+    decision the exact-shape bounds guard makes). A traced scalar so
+    every d_true shares one compile per bucket.
 
     Feature layout is channel-MAJOR (Hp, C, Wp): x on lanes, so C=64
     maps carry no lane padding (the (H, W, C) layout wasted half of
@@ -74,7 +83,7 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
     assert Hp % YB == 0 and Wp % XB == 0 and C % 8 == 0
     assert feat_b_pad.shape[2] == Wp + SLAB
 
-    def kernel(a_ref, b_hbm, out_ref, slab, sem):
+    def kernel(dt_ref, a_ref, b_hbm, out_ref, slab, sem):
         xb = pl.program_id(1)
         y = pl.program_id(0)
         cp = pltpu.make_async_copy(
@@ -111,7 +120,7 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         blk = B[:, :, :Dp]  # (YB, XB, Dp)
         x = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1) + xb * XB
         d = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
-        keep = (x + d < W) & (d < D)
+        keep = (x + d < W) & (d < dt_ref[0])
         if Hp > H:  # feature pad rows produce -0 dots; emit NaN rows
             yy = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) + y * YB
             keep = keep & (yy < H)
@@ -138,6 +147,7 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         kernel,
         grid=(Hp // YB, Wp // XB),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((YB, C, XB), lambda y, x: (y, 0, x),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -148,14 +158,15 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((YB, C, SLAB), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(feat_a, feat_b_pad)
+    )(jnp.asarray(d_true, jnp.int32).reshape(1), feat_a, feat_b_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("disp_max", "n_fix",
                                              "interpret", "sides"))
 def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
                         disp_max: int, n_fix: int = 0,
-                        interpret: bool = False, sides: str = "both"):
+                        interpret: bool = False, sides: str = "both",
+                        d_true=None):
     """Both cost volumes in padded disparity-minor layout.
 
     feat_l/feat_r: (H, W, C) L2-normalized maps. Returns
@@ -172,7 +183,9 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
 
     sides="left" computes and returns only ``vol_l_xrev`` (the
     Middlebury evaluation path runs the -1 reference direction alone,
-    main.lua:954-955).
+    main.lua:954-955). ``d_true``: optional TRACED real disparity
+    count < disp_max for shape-bucketed evaluation (see _join_plus) —
+    lanes d >= d_true are NaN and the bucket is exact.
     """
     H, W, C = feat_l.shape
     D = disp_max
@@ -192,13 +205,14 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
         return jnp.pad(f, ((0, Hp - H), (0, C8 - C),
                            (0, Wp - W + (SLAB if slab else 0))))
 
+    dt = D if d_true is None else d_true
     vol_l_xrev = _join_plus(prep(feat_l, True, False),
-                            prep(feat_r, True, True), D, W, H, n_fix,
+                            prep(feat_r, True, True), dt, D, W, H, n_fix,
                             interpret)
     if sides == "left":
         return vol_l_xrev
     vol_r = _join_plus(prep(feat_r, False, False),
-                       prep(feat_l, False, True), D, W, H, n_fix,
+                       prep(feat_l, False, True), dt, D, W, H, n_fix,
                        interpret)
     return vol_l_xrev, vol_r
 

@@ -212,7 +212,7 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
 def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
                    dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
                    sgm_i, blur_t, sm_terminate, sm_skip, return_vols,
-                   directions=(1, -1)):
+                   directions=(1, -1), disp_true=None):
     """The fast-arch pipeline in the join's native disparity-minor
     layout (TPU default when no CBCA is configured — every KITTI fast
     config has cbca_i1 = cbca_i2 = 0).
@@ -233,6 +233,16 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
 
     directions=(-1,) (Middlebury evaluation, main.lua:954-955) builds
     and processes only the left volume — half the join and SGM work.
+
+    disp_true (TRACED scalar, shape bucketing): when disp_max was
+    padded up to a compile bucket, the join emits NaN at lanes
+    d >= disp_true, which is EXACT through this lane — NaN lanes
+    never win the (inf-substituted) WTA, fmin drops them from the SGM
+    neighbor coupling exactly like the real d-range boundary, and the
+    subpixel parabola at d == disp_true-1 sees a NaN denominator and
+    keeps d, the same decision the exact-shape bounds guard makes.
+    (The standard lane's large-finite sentinel is approximate at that
+    boundary; this lane has no CBCA mean to protect, so NaN is safe.)
     """
     from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
 
@@ -247,10 +257,12 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
     fl = feats[0].astype(jnp.float32)
     fr = feats[1].astype(jnp.float32)
     if single:
-        cur_lr = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix, sides="left")
+        cur_lr = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix, sides="left",
+                                     d_true=disp_true)
         cur_r = None
     else:
-        cur_lr, cur_r = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix)
+        cur_lr, cur_r = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix,
+                                            d_true=disp_true)
 
     sgm_ran = _active_after(sm_terminate, "cbca1") and sm_skip != "sgm"
     if sgm_ran:
@@ -346,17 +358,17 @@ def _hwd_unpack_vol(vol, *, D, H, W, xrev, scale4):
 
 
 def _hwd_eligible(cfg: Config, directions, disp_max, disp_true) -> bool:
-    """The HWD lane covers the fast arch with no CBCA, exact
-    (non-bucketed) disparity range, no volume cache, on the TPU Pallas
-    default path — for both reference directions (KITTI, and MB
-    predict) or the left direction alone (MB evaluation)."""
+    """The HWD lane covers the fast arch with no CBCA and no volume
+    cache on the TPU Pallas default path — for both reference
+    directions (KITTI, and MB predict) or the left direction alone
+    (MB evaluation), including D-bucketed shapes (disp_true rides as
+    a traced scalar and the NaN pad lanes make the bucket exact)."""
     import os
 
     from mccnn_tpu.ops.sgm import _pallas_default
 
     return (cfg.arch == "fast" and tuple(directions) in ((1, -1), (-1,))
             and int(cfg.cbca_i1) == 0 and int(cfg.cbca_i2) == 0
-            and (disp_true is None or int(disp_true) == int(disp_max))
             and not cfg.use_cache and not cfg.make_cache
             and _pallas_default()
             and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
@@ -417,7 +429,10 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
             sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
             sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
             sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
-            return_vols=return_vols, directions=tuple(directions))
+            return_vols=return_vols, directions=tuple(directions),
+            disp_true=(None if disp_true is None
+                       or int(disp_true) == int(disp_max)
+                       else int(disp_true)))
         if not return_vols:
             return out
         d_final, cur_lr, cur_r = out

@@ -180,3 +180,48 @@ def test_fast_hwd_single_direction_interpret(monkeypatch):
 
     d_h, d_s = np.asarray(d_h), np.asarray(d_s)
     assert float((np.abs(d_h - d_s) > 0.51).mean()) < 0.01
+
+
+def test_fast_hwd_bucketed_disp_exact(monkeypatch):
+    """D-bucketing through the HWD lane is EXACT: running at a padded
+    disp_max bucket with disp_true set must reproduce the exact-shape
+    run bit-for-bit (NaN pad lanes never win WTA, drop out of the SGM
+    fmin coupling, and poison the subpixel parabola at the
+    disp_true-1 boundary into the same keep-d decision as the
+    exact-shape bounds guard). disp_true is traced, so every real
+    disparity count shares the bucket's compile."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.ops import post
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    cfg = make_config("kitti", "fast", a="test_te")
+    params = init_params(cfg)
+    rng = np.random.RandomState(29)
+    H, W, D, Db = 48, 200, 40, 64
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = jnp.asarray(base[:, D:])
+    x1 = jnp.asarray(base[:, :-D])
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    common = dict(kitti=True, ws=cfg.ws, dtype_name="float32",
+                  pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+                  tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+                  sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+                  sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
+                  sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip,
+                  return_vols=False)
+
+    d_exact = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                  disp_max=D, **common)
+    d_bucket = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                   disp_max=Db, disp_true=D, **common)
+    assert np.array_equal(np.asarray(d_exact), np.asarray(d_bucket))
