@@ -669,10 +669,17 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
     g_rev/g_nat: (T, GL) per-step gradient rows, lane-reversed /
     natural. GL >= D + Sp_per_dir + Dp + 256.
     reverse_steps/St/acc: as in :func:`_sweep_stream_hslab`.
+
+    MCCNN_VSLAB_CLS=1: shear the penalty CLASS (0/1/2, the 3-way
+    tau_so comparison precomputed per tile) in bfloat16 instead of
+    the raw f32 gradient — exactly the same penalties (the class IS
+    the comparison result; {0,1,2} are exact in bf16) at half the
+    per-step roll traffic. Gated until hardware-validated.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    cls_mode = os.environ.get("MCCNN_VSLAB_CLS", "0") == "1"
     T_full, Sp, Dp = vol_s.shape
     if T is None:
         T = T_full
@@ -686,13 +693,18 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
     with_acc = acc is not None
 
     def kernel(*refs):
-        if with_acc:
-            (vol_hbm, d1_hbm, grev_hbm, gnat_hbm, acc_hbm, out_hbm, vol_b,
-             acc_b, out_b, prev, d1_v, g_v, in_sems, acc_sems, out_sems,
-             slab_sems) = refs
-        else:
-            (vol_hbm, d1_hbm, grev_hbm, gnat_hbm, out_hbm, vol_b, out_b,
-             prev, d1_v, g_v, in_sems, out_sems, slab_sems) = refs
+        it = iter(refs)
+        vol_hbm, d1_hbm, grev_hbm, gnat_hbm = (next(it), next(it),
+                                               next(it), next(it))
+        acc_hbm = next(it) if with_acc else None
+        out_hbm = next(it)
+        vol_b = next(it)
+        acc_b = next(it) if with_acc else None
+        out_b, prev, d1_v, g_v = next(it), next(it), next(it), next(it)
+        cls_v = next(it) if cls_mode else None
+        in_sems = next(it)
+        acc_sems = next(it) if with_acc else None
+        out_sems, slab_sems = next(it), next(it)
         s = pl.program_id(0)
         is_rev = s < n_rev_tiles
         s_local = jnp.where(is_rev, s, s - n_rev_tiles)
@@ -734,6 +746,14 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         cp_d1.wait()
         cp_gr.wait()
         cp_gn.wait()
+        if cls_mode:
+            # this tile's class window, once: 0/1/2 per the strict
+            # tau_so comparisons (adcensus.cu:596-605), bf16-exact
+            gsel = g_v[pl.ds(jnp.where(is_rev, 0, 1), 1)][0]
+            cls_v[:] = jnp.where(
+                gsel < tau_so, jnp.bfloat16(0.0),
+                jnp.where(gsel > tau_so, jnp.bfloat16(2.0),
+                          jnp.bfloat16(1.0)))
 
         def body(t, _):
             slot = jax.lax.rem(t, 2)
@@ -765,13 +785,17 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                 p = prev[:]
                 pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
                              keepdims=True)
-                # step row y of this tile's class window, selected with
-                # a masked sublane reduce (dynamic single-sublane reads
-                # are not DMA-tileable)
-                cls = jnp.where(is_rev, 0, 1)
-                gw = g_v[pl.ds(cls, 1)][0]  # (Tg, Lw)
+                # step row y of this tile's gradient-or-class window,
+                # selected with a masked sublane reduce (dynamic
+                # single-sublane reads are not DMA-tileable)
+                if cls_mode:
+                    gw = cls_v[:]  # (Tg, Lw) bf16 classes
+                    zero = jnp.bfloat16(0.0)
+                else:
+                    gw = g_v[pl.ds(jnp.where(is_rev, 0, 1), 1)][0]
+                    zero = 0.0
                 ys = jax.lax.broadcasted_iota(jnp.int32, (Tg, Lw), 0)
-                win = jnp.sum(jnp.where(ys == y, gw, 0.0), axis=0,
+                win = jnp.sum(jnp.where(ys == y, gw, zero), axis=0,
                               keepdims=True)  # (1, Lw)
                 # shear: row xi needs a left-roll by rem + xi — scalar
                 # part first, then the log-step per-sublane shear
@@ -783,11 +807,22 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                     M = jnp.where((sub & k) != 0,
                                   pltpu.roll(M, Lw - k, axis=1), M)
                     k *= 2
-                D2 = M[:, :Dp]
                 y_al = pl.multiple_of((y // 128) * 128, 128)
                 dwin = d1_v[:, pl.ds(y_al, 128)]
                 D1 = pltpu.roll(dwin, 128 - (y - y_al), axis=1)[:, :1]
-                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                if cls_mode:
+                    c2 = M[:, :Dp]
+                    c1 = jnp.where(D1 < tau_so, 0.0,
+                                   jnp.where(D1 > tau_so, 2.0, 1.0))
+                    lo = (c1 == 0.0) & (c2 == jnp.bfloat16(0.0))
+                    hi = (c1 == 2.0) & (c2 == jnp.bfloat16(2.0))
+                    P1 = jnp.where(lo, pi1,
+                                   jnp.where(hi, pi1 / (q1 * q2), pi1 / q1))
+                    P2 = jnp.where(lo, pi2,
+                                   jnp.where(hi, pi2 / (q1 * q2), pi2 / q1))
+                else:
+                    P1, P2 = _penalties(D1, M[:, :Dp], pi1, pi2, tau_so,
+                                        q1, q2)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
                 up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
                 dn = jnp.where(lane == D - 1, _BIG,
@@ -813,6 +848,7 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
         pltpu.VMEM((St, HL), vol_s.dtype),                  # d1 slab
         pltpu.VMEM((2, Tg, Lw), vol_s.dtype),               # g windows
+    ] + ([pltpu.VMEM((Tg, Lw), jnp.bfloat16)] if cls_mode else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # in_sems
     ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # out_sems

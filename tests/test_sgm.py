@@ -118,3 +118,45 @@ def test_sweep_hnat_interpret_vs_scan(reverse):
     # pad columns beyond the last DMA group keep the accumulator's NaN
     GK = -(-T // K) * K
     assert np.all(np.isnan(summed[:, GK:]))
+
+
+def test_vslab_class_shear_exact(monkeypatch):
+    """MCCNN_VSLAB_CLS=1 (bf16 penalty-class shear in the vertical
+    sweeps) must reproduce the f32 gradient-shear path bit-for-bit:
+    the class IS the 3-way tau_so comparison result and {0,1,2} are
+    bf16-exact. Interpret mode; the TPU lane revalidates on
+    hardware before the flag defaults on."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    rng = np.random.RandomState(41)
+    H, W, C, D = 40, 280, 16, 100
+    x0 = rng.rand(H, W).astype(np.float32)
+    x1 = rng.rand(H, W).astype(np.float32)
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+    vol = stereo_join_mxu_hwd(jnp.asarray(fl), jnp.asarray(fr), D,
+                              n_fix=4, sides="left")
+    kw = dict(pi1=PARAMS["pi1"], pi2=PARAMS["pi2"],
+              tau_so=PARAMS["tau_so"], alpha1=PARAMS["alpha1"],
+              q1=PARAMS["sgm_q1"], q2=PARAMS["sgm_q2"])
+
+    monkeypatch.delenv("MCCNN_VSLAB_CLS", raising=False)
+    a = np.asarray(sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=True,
+                                         **kw))
+    monkeypatch.setenv("MCCNN_VSLAB_CLS", "1")
+    b = np.asarray(sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=True,
+                                         **kw))
+    assert np.array_equal(a[:H, :W, :D], b[:H, :W, :D], equal_nan=True)
