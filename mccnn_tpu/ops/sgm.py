@@ -1136,6 +1136,9 @@ def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
 
     # ---- vertical family (sgm_dir 2: v, 3: ^): steps = y ----------------
     St_v = 256 if Wp % 256 == 0 else 128
+    st_env = int(os.environ.get("MCCNN_VSLAB_ST", "0"))
+    if st_env and Wp % st_env == 0:
+        St_v = st_env  # A/B hook: smaller tiles shrink the shear window
     n_rev_v = (Wp // St_v) if xrev else 0
     GLv = -(-(D + Wp + Dp + 256) // 128) * 128
     HL = -(-H // 128) * 128
