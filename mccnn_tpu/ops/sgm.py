@@ -41,6 +41,16 @@ _BIG = jnp.inf
 # override with MCCNN_SGM_PALLAS=0/1.
 _PALLAS_MODE = os.environ.get("MCCNN_SGM_PALLAS", "auto")
 
+# Scoped-VMEM ceiling for the streaming-DMA sweep kernels. Mosaic's
+# default 16 MB limit counts BOTH the declared scratch and the stack
+# temporaries of the unrolled recurrence (observed ~2x the scratch
+# estimate at Middlebury half-res scale: 17.7 M vs 8.5 M declared,
+# which OOM'd the compile). v5e has 128 MB of VMEM per core and these
+# kernels manage their own double-buffering, so raise the per-kernel
+# ceiling; _pick_st_hnat still sizes tiles to a conservative scratch
+# budget for locality.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _pallas_default() -> bool:
     if _PALLAS_MODE == "1":
@@ -221,7 +231,8 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(vol_p, d2_p)
     return out[:, :S, :D]
 
@@ -388,7 +399,8 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
         out_shape=jax.ShapeDtypeStruct((T_full, Sp, Dp), vol_s.dtype),
         scratch_shapes=scratch,
         input_output_aliases={3: 0} if with_acc else {},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(*operands)
     return out
 
@@ -638,7 +650,8 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         input_output_aliases=({3: 0} if (with_acc and write_out) else {}),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     return res[0] if len(res) == 1 else tuple(res)
@@ -863,7 +876,8 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         out_shape=jax.ShapeDtypeStruct((T_full, Sp, Dp), vol_s.dtype),
         scratch_shapes=scratch,
         input_output_aliases={4: 0} if with_acc else {},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(*operands)
     return out
 

@@ -306,7 +306,14 @@ def test_fast_hwd_lane_vs_standard():
                                               return_vols=True)
     finally:
         os.environ.pop("MCCNN_FAST_HWD", None)
-    assert np.array_equal(np.asarray(d_h), np.asarray(d_s))
+    # Not bit-exact by design: the HWD lane elides the /4 after the
+    # sweep sum (WTA is scale-invariant; the subpixel threshold is
+    # rescaled) and chains the four sweeps through one in-kernel
+    # accumulator, so the subpixel quotient rounds differently by an
+    # ulp (measured max |diff| 9.5e-7 on this input). A real lane bug
+    # shows up as >=0.5-disparity errors, far above this tolerance.
+    np.testing.assert_allclose(np.asarray(d_h), np.asarray(d_s),
+                               rtol=0, atol=1e-4)
     for a, b in ((vl_h, vl_s), (vr_h, vr_s)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.array_equal(np.isnan(a), np.isnan(b))
