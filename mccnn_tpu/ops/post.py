@@ -222,28 +222,41 @@ def subpixel_enhancement(d0: jnp.ndarray, vol: jnp.ndarray, disp_max: int
 
 def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """k×k median with boundary-clipped windows (adcensus.cu:1575-1594):
-    out = sorted(in-frame window values)[count/2]."""
+    out = sorted(in-frame window values)[count/2].
+
+    The clipped-window median is read at a COUNT-DEPENDENT index,
+    which would need a k²-way one-hot select after the sort. Instead,
+    out-of-frame taps are filled with ±inf split so the target always
+    lands at the FIXED middle index: with cnt in-frame values, filling
+    ``a = mid - cnt//2`` taps with -inf (the rest +inf) puts
+    sorted[mid] at in-frame rank cnt//2 exactly (a -infs sort below
+    every real value, so index mid hits real index mid - a). The fill
+    assignment is per-tap by its rank among the pixel's invalid taps —
+    pure geometry, computed with a running count in the tap unroll."""
     assert kernel_size % 2 == 1 and kernel_size <= 11
     r = kernel_size // 2
     H, W = img.shape
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
-    stack, valid = [], []
+    mid = (kernel_size * kernel_size) // 2
+    taps = []
     # window iteration order matches adcensus.cu:1584-1590 (xx outer);
-    # irrelevant after the sort but kept for clarity.
+    # irrelevant after the sort but kept for the invalid-rank walk.
     for dx in range(-r, r + 1):
         for dy in range(-r, r + 1):
-            stack.append(jnp.roll(jnp.roll(img, -dy, 0), -dx, 1))
-            valid.append(((ys + dy >= 0) & (ys + dy < H)
-                          & (xs + dx >= 0) & (xs + dx < W)))
-    vals = jnp.stack(stack)
-    ok = jnp.stack(valid)
-    cnt = ok.sum(axis=0)
-    s = jnp.sort(jnp.where(ok, vals, jnp.inf), axis=0)
-    # one-hot select instead of take_along_axis: k*k masked adds beat a
-    # per-pixel gather on TPU by a wide margin
-    ks = jnp.arange(s.shape[0], dtype=cnt.dtype)[:, None, None]
-    return jnp.sum(jnp.where(ks == (cnt // 2)[None], s, 0.0), axis=0)
+            v = jnp.roll(jnp.roll(img, -dy, 0), -dx, 1)
+            ok = ((ys + dy >= 0) & (ys + dy < H)
+                  & (xs + dx >= 0) & (xs + dx < W))
+            taps.append((v, ok))
+    cnt = sum(ok.astype(jnp.int32) for _, ok in taps)
+    a = mid - cnt // 2  # -inf fills; always in [0, k*k - cnt]
+    vals = []
+    rank = jnp.zeros((H, W), jnp.int32)  # invalid taps seen so far
+    for v, ok in taps:
+        fill = jnp.where(rank < a, -jnp.inf, jnp.inf)
+        vals.append(jnp.where(ok, v, fill))
+        rank = rank + (~ok).astype(jnp.int32)
+    return jnp.sort(jnp.stack(vals), axis=0)[mid]
 
 
 def gaussian_kernel(sigma: float) -> np.ndarray:

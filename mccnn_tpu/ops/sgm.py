@@ -683,16 +683,25 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
     natural. GL >= D + Sp_per_dir + Dp + 256.
     reverse_steps/St/acc: as in :func:`_sweep_stream_hslab`.
 
-    MCCNN_VSLAB_CLS=1: shear the penalty CLASS (0/1/2, the 3-way
-    tau_so comparison precomputed per tile) in bfloat16 instead of
-    the raw f32 gradient — exactly the same penalties (the class IS
-    the comparison result; {0,1,2} are exact in bf16) at half the
-    per-step roll traffic. Gated until hardware-validated.
+    Packed-class shear (default; MCCNN_VSLAB_PK=0 opts out): the
+    per-step D2 shear is ~30% of the sweep's VPU work — a masked
+    sublane reduce over the (Tg, Lw) window plus log2(St) masked
+    lane rolls of an (St, Lw) block EVERY step. The penalty only
+    consumes the 3-way tau_so CLASS of D2 (0/1/2 — _penalties's
+    strict comparisons), and classes fit in 2 bits, so the kernel
+    packs the classes of PK=8 consecutive steps into one int32 word
+    per (row, lane) and shears once per 8-step group; each step then
+    extracts its class with a shift+mask on the (St, Dp) slice.
+    Exactly the same penalties (the class IS the comparison result,
+    computed pointwise before the shear, which commutes), 8x less
+    shear work, and all rolls are 32-bit (Mosaic has no sub-32-bit
+    lane rotate — a bf16 class shear does not compile).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cls_mode = os.environ.get("MCCNN_VSLAB_CLS", "0") == "1"
+    pk_mode = os.environ.get("MCCNN_VSLAB_PK", "1") != "0"
+    PK = 8  # steps per packed class word (2 bits each, Tg % 8 == 0)
     T_full, Sp, Dp = vol_s.shape
     if T is None:
         T = T_full
@@ -714,7 +723,8 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         vol_b = next(it)
         acc_b = next(it) if with_acc else None
         out_b, prev, d1_v, g_v = next(it), next(it), next(it), next(it)
-        cls_v = next(it) if cls_mode else None
+        if pk_mode:
+            pk_v, shr_v = next(it), next(it)
         in_sems = next(it)
         acc_sems = next(it) if with_acc else None
         out_sems, slab_sems = next(it), next(it)
@@ -759,14 +769,21 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         cp_d1.wait()
         cp_gr.wait()
         cp_gn.wait()
-        if cls_mode:
-            # this tile's class window, once: 0/1/2 per the strict
-            # tau_so comparisons (adcensus.cu:596-605), bf16-exact
+        if pk_mode:
+            # this tile's packed class table, once: 0/1/2 per the
+            # strict tau_so comparisons (adcensus.cu:596-605; NaN
+            # fails both, landing in the middle class like
+            # _penalties), rows t..t+7 packed 2 bits apiece into
+            # word t — read only at group bases t = 8m, where the
+            # sublane wraparound rows never reach
             gsel = g_v[pl.ds(jnp.where(is_rev, 0, 1), 1)][0]
-            cls_v[:] = jnp.where(
-                gsel < tau_so, jnp.bfloat16(0.0),
-                jnp.where(gsel > tau_so, jnp.bfloat16(2.0),
-                          jnp.bfloat16(1.0)))
+            cls = jnp.where(gsel < tau_so, 0,
+                            jnp.where(gsel > tau_so, 2, 1)
+                            ).astype(jnp.int32)
+            pk = cls
+            for kk in range(1, PK):
+                pk = pk | (pltpu.roll(cls, Tg - kk, axis=0) << (2 * kk))
+            pk_v[:] = pk
 
         def body(t, _):
             slot = jax.lax.rem(t, 2)
@@ -798,37 +815,53 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                 p = prev[:]
                 pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
                              keepdims=True)
-                # step row y of this tile's gradient-or-class window,
-                # selected with a masked sublane reduce (dynamic
-                # single-sublane reads are not DMA-tileable)
-                if cls_mode:
-                    gw = cls_v[:]  # (Tg, Lw) bf16 classes
-                    zero = jnp.bfloat16(0.0)
+                # step row y's D2 (or its packed class group), selected
+                # with a masked sublane reduce (dynamic single-sublane
+                # reads are not DMA-tileable), then the shear: row xi
+                # needs a left-roll by rem + xi — scalar part first,
+                # then the log-step per-sublane shear
+                if pk_mode:
+                    yb = (y // PK) * PK
+                    trig = (t == 1) | (jax.lax.rem(y, PK) ==
+                                       (PK - 1 if reverse_steps else 0))
+
+                    @pl.when(trig)
+                    def _():
+                        ys = jax.lax.broadcasted_iota(
+                            jnp.int32, (Tg, Lw), 0)
+                        win = jnp.sum(jnp.where(ys == yb, pk_v[:], 0),
+                                      axis=0, keepdims=True)  # (1, Lw)
+                        M = jnp.broadcast_to(win, (St, Lw))
+                        M = pltpu.roll(M, Lw - rem, axis=1)
+                        sub = jax.lax.broadcasted_iota(
+                            jnp.int32, (St, Lw), 0)
+                        k = 1
+                        while k < St:
+                            M = jnp.where((sub & k) != 0,
+                                          pltpu.roll(M, Lw - k, axis=1), M)
+                            k *= 2
+                        shr_v[:] = M
+                    c2 = jnp.right_shift(shr_v[:, :Dp],
+                                         2 * (y - yb)) & 3
                 else:
                     gw = g_v[pl.ds(jnp.where(is_rev, 0, 1), 1)][0]
-                    zero = 0.0
-                ys = jax.lax.broadcasted_iota(jnp.int32, (Tg, Lw), 0)
-                win = jnp.sum(jnp.where(ys == y, gw, zero), axis=0,
-                              keepdims=True)  # (1, Lw)
-                # shear: row xi needs a left-roll by rem + xi — scalar
-                # part first, then the log-step per-sublane shear
-                M = jnp.broadcast_to(win, (St, Lw))
-                M = pltpu.roll(M, Lw - rem, axis=1)
-                sub = jax.lax.broadcasted_iota(jnp.int32, (St, Lw), 0)
-                k = 1
-                while k < St:
-                    M = jnp.where((sub & k) != 0,
-                                  pltpu.roll(M, Lw - k, axis=1), M)
-                    k *= 2
+                    ys = jax.lax.broadcasted_iota(jnp.int32, (Tg, Lw), 0)
+                    win = jnp.sum(jnp.where(ys == y, gw, 0.0), axis=0,
+                                  keepdims=True)  # (1, Lw)
+                    M = jnp.broadcast_to(win, (St, Lw))
+                    M = pltpu.roll(M, Lw - rem, axis=1)
+                    sub = jax.lax.broadcasted_iota(jnp.int32, (St, Lw), 0)
+                    k = 1
+                    while k < St:
+                        M = jnp.where((sub & k) != 0,
+                                      pltpu.roll(M, Lw - k, axis=1), M)
+                        k *= 2
                 y_al = pl.multiple_of((y // 128) * 128, 128)
                 dwin = d1_v[:, pl.ds(y_al, 128)]
                 D1 = pltpu.roll(dwin, 128 - (y - y_al), axis=1)[:, :1]
-                if cls_mode:
-                    c2 = M[:, :Dp]
-                    c1 = jnp.where(D1 < tau_so, 0.0,
-                                   jnp.where(D1 > tau_so, 2.0, 1.0))
-                    lo = (c1 == 0.0) & (c2 == jnp.bfloat16(0.0))
-                    hi = (c1 == 2.0) & (c2 == jnp.bfloat16(2.0))
+                if pk_mode:
+                    lo = (D1 < tau_so) & (c2 == 0)
+                    hi = (D1 > tau_so) & (c2 == 2)
                     P1 = jnp.where(lo, pi1,
                                    jnp.where(hi, pi1 / (q1 * q2), pi1 / q1))
                     P2 = jnp.where(lo, pi2,
@@ -861,7 +894,8 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
         pltpu.VMEM((St, HL), vol_s.dtype),                  # d1 slab
         pltpu.VMEM((2, Tg, Lw), vol_s.dtype),               # g windows
-    ] + ([pltpu.VMEM((Tg, Lw), jnp.bfloat16)] if cls_mode else []) + [
+    ] + ([pltpu.VMEM((Tg, Lw), jnp.int32),                  # packed cls
+          pltpu.VMEM((St, Lw), jnp.int32)] if pk_mode else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # in_sems
     ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # out_sems

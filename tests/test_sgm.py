@@ -121,11 +121,12 @@ def test_sweep_hnat_interpret_vs_scan(reverse):
 
 
 def test_vslab_class_shear_exact(monkeypatch):
-    """MCCNN_VSLAB_CLS=1 (bf16 penalty-class shear in the vertical
-    sweeps) must reproduce the f32 gradient-shear path bit-for-bit:
-    the class IS the 3-way tau_so comparison result and {0,1,2} are
-    bf16-exact. Interpret mode; the TPU lane revalidates on
-    hardware before the flag defaults on."""
+    """The packed-class shear (default; one int32 word carries 8
+    steps' 2-bit penalty classes, sheared once per group) must
+    reproduce the raw f32 gradient-shear path (MCCNN_VSLAB_PK=0)
+    bit-for-bit: the class IS the 3-way tau_so comparison result and
+    classification commutes with the shear. Interpret mode; the TPU
+    lane revalidates on hardware."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -153,10 +154,10 @@ def test_vslab_class_shear_exact(monkeypatch):
               tau_so=PARAMS["tau_so"], alpha1=PARAMS["alpha1"],
               q1=PARAMS["sgm_q1"], q2=PARAMS["sgm_q2"])
 
-    monkeypatch.delenv("MCCNN_VSLAB_CLS", raising=False)
+    monkeypatch.setenv("MCCNN_VSLAB_PK", "0")
     a = np.asarray(sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=True,
                                          **kw))
-    monkeypatch.setenv("MCCNN_VSLAB_CLS", "1")
+    monkeypatch.setenv("MCCNN_VSLAB_PK", "1")
     b = np.asarray(sgm_mod._sgm_slab_hwd(x0, x1, vol, D, H, W, xrev=True,
                                          **kw))
     assert np.array_equal(a[:H, :W, :D], b[:H, :W, :D], equal_nan=True)
