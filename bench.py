@@ -84,6 +84,11 @@ def main():
             _bench_slow(x0, x1, disp_max), 4)
     except Exception as e:  # pragma: no cover
         extra["slow_error"] = type(e).__name__
+    try:
+        extra["fast_bf16_pairs_per_s"] = round(
+            _bench_bf16(params, x0, x1, disp_max), 4)
+    except Exception as e:  # pragma: no cover
+        extra["fast_bf16_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",
@@ -116,6 +121,30 @@ def _bench_batch8(cfg, params, x0, x1, disp_max):
         out = run(params, x0b, x1b)
         float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / B
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
+def _bench_bf16(params, x0, x1, disp_max):
+    """Fast pipeline with `-dtype bfloat16` (tower + join compute in
+    bf16; flag-gated, parity-breaking — reported alongside the f32
+    headline, never as it)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import stereo_predict
+
+    cfg = make_config("kitti", "fast", a="time", dtype="bfloat16")
+    run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
+    float(jnp.sum(run()))  # compile + warm
+    N = 10
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N):
+            out = run()
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / N
         best = dt if best is None else min(best, dt)
     return 1.0 / best
 
