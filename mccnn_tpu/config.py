@@ -109,6 +109,12 @@ class Config:
 
     # TPU-native extensions (no reference analog)
     dtype: str = "float32"  # compute dtype for the matching network
+    # cost-volume STORAGE dtype for the HWD fast lane: float16 halves
+    # the SGM sweeps' HBM streaming (the pipeline's dominant traffic);
+    # the recurrence still computes in f32 — only the per-sweep
+    # stored values round (f16: 11 mantissa bits; bf16 accepted but
+    # its 8 bits visibly shift WTA margins). float32 = exact default.
+    vol_dtype: str = "float32"
     backend: str = ""  # jax platform to run on ("cpu"/"tpu"; "" = default, cli.apply_device)
     data_dir: str = ""  # override dataset directory
     checkpoint_every: int = 0  # mid-train checkpointing (0 = reference behavior)
@@ -126,6 +132,8 @@ class Config:
         assert self.dataset in DATASETS, self.dataset
         assert self.arch in ARCHES, self.arch
         assert self.a in ACTIONS, self.a
+        assert self.vol_dtype in ("float32", "float16", "bfloat16"), \
+            self.vol_dtype
         return self
 
     @property

@@ -53,7 +53,7 @@ YB = 8    # rows per grid step (amortizes per-step overhead)
 
 def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
                disp_max: int, W: int, H: int, n_fix: int,
-               interpret: bool) -> jnp.ndarray:
+               interpret: bool, out_dtype=jnp.float32) -> jnp.ndarray:
     """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
     d >= d_true or y >= H (pad rows, masked at write time — a
     post-hoc where would re-stream the whole volume), with rows
@@ -74,7 +74,9 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
     runs over sublanes — the native matmul orientation.
     feat_b_pad: (Hp, C, Wp + XB + Dp) — b padded on x by the slab
     overhang at prep time so no second pad pass runs per call.
-    Returns (Hp, Wp, Dp) float32.
+    Returns (Hp, Wp, Dp) in ``out_dtype`` (f32 default; 16-bit types
+    halve the volume's write+downstream-streaming traffic, rounding
+    only the stored values — the dots are still computed in f32).
     """
     Hp, C, Wp = feat_a.shape
     D = disp_max
@@ -135,13 +137,13 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
                 # column copy propagates them)
                 src = jnp.sum(jnp.where(xi == n_fix, b2, 0.0), axis=1,
                               keepdims=True)
-                out_ref[:] = jnp.where(xi < n_fix, src, b2)
+                out_ref[:] = jnp.where(xi < n_fix, src, b2).astype(out_dtype)
 
             @pl.when(xb > 0)
             def _():
-                out_ref[:] = blk
+                out_ref[:] = blk.astype(out_dtype)
         else:
-            out_ref[:] = blk
+            out_ref[:] = blk.astype(out_dtype)
 
     return pl.pallas_call(
         kernel,
@@ -154,7 +156,7 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
         ],
         out_specs=pl.BlockSpec((YB, XB, Dp), lambda y, x: (y, x, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), out_dtype),
         scratch_shapes=[pltpu.VMEM((YB, C, SLAB), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
@@ -162,11 +164,12 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
 
 
 @functools.partial(jax.jit, static_argnames=("disp_max", "n_fix",
-                                             "interpret", "sides"))
+                                             "interpret", "sides",
+                                             "out_dtype"))
 def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
                         disp_max: int, n_fix: int = 0,
                         interpret: bool = False, sides: str = "both",
-                        d_true=None):
+                        d_true=None, out_dtype: str = "float32"):
     """Both cost volumes in padded disparity-minor layout.
 
     feat_l/feat_r: (H, W, C) L2-normalized maps. Returns
@@ -206,14 +209,15 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
                            (0, Wp - W + (SLAB if slab else 0))))
 
     dt = D if d_true is None else d_true
+    odt = jnp.dtype(out_dtype)
     vol_l_xrev = _join_plus(prep(feat_l, True, False),
                             prep(feat_r, True, True), dt, D, W, H, n_fix,
-                            interpret)
+                            interpret, odt)
     if sides == "left":
         return vol_l_xrev
     vol_r = _join_plus(prep(feat_r, False, False),
                        prep(feat_l, False, True), dt, D, W, H, n_fix,
-                       interpret)
+                       interpret, odt)
     return vol_l_xrev, vol_r
 
 

@@ -329,14 +329,18 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                     d.start()
             for d in in_dma(slot, t):
                 d.wait()
-            vol = vol_b[slot]
+            # 16-bit vol/acc/out storage streams at half the HBM
+            # traffic; the recurrence always computes in f32 (the
+            # casts are no-ops for the f32 default path)
+            vol = vol_b[slot].astype(jnp.float32)
 
             @pl.when(t > 1)
             def _():
                 out_dma(slot, t - 2).wait()
 
             def emit(val):
-                out_b[slot] = (val + acc_b[slot]) if with_acc else val
+                out_b[slot] = ((val + acc_b[slot].astype(jnp.float32))
+                               if with_acc else val).astype(out_b.dtype)
                 prev[:] = val
 
             @pl.when(t == 0)
@@ -552,7 +556,10 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
             ks = range(K - 1, -1, -1) if reverse_steps else range(K)
             for k in ks:
                 x = g * K + k
-                vol_k = vol_b[slot][:, k, :]
+                # 16-bit vol/acc/out storage streams at half the HBM
+                # traffic; the recurrence always computes in f32 (the
+                # casts are no-ops for the f32 default path)
+                vol_k = vol_b[slot][:, k, :].astype(jnp.float32)
                 p = prev[:]
                 pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
                              keepdims=True)
@@ -580,9 +587,10 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                 val = jnp.where(x == init_x, vol_k, vol_k + cost - pm)
                 is_pad = x >= T
                 outv = jnp.where(is_pad, vol_k, val)
-                final = (outv + acc_b[slot][:, k, :]) if with_acc else outv
+                final = (outv + acc_b[slot][:, k, :].astype(jnp.float32)
+                         ) if with_acc else outv
                 if write_out:
-                    out_b[slot, :, k, :] = final
+                    out_b[slot, :, k, :] = final.astype(out_b.dtype)
                 if wta:
                     # winner lane of the final per-pixel vector, into
                     # lane x % 128 of the flush block (broadcast-
@@ -628,9 +636,9 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
         pltpu.VMEM((2, St, K, Dp), vol.dtype),              # vol_b
     ] + ([pltpu.VMEM((2, St, K, Dp), vol.dtype)] if with_acc else []) + (
         [pltpu.VMEM((2, St, K, Dp), vol.dtype)] if write_out else []) + [
-        pltpu.VMEM((St, Dp), vol.dtype),                    # prev
-        pltpu.VMEM((St, WLp), vol.dtype),                   # d1 slab
-        pltpu.VMEM((St, GL), vol.dtype),                    # g slab
+        pltpu.VMEM((St, Dp), jnp.float32),                  # prev (compute)
+        pltpu.VMEM((St, WLp), d1_slab.dtype),               # d1 slab
+        pltpu.VMEM((St, GL), g_slab.dtype),                 # g slab
     ] + ([pltpu.VMEM((St, 128), jnp.float32)] if wta else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # in_sems
     ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + (
@@ -795,14 +803,18 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                     d.start()
             for d in in_dma(slot, t):
                 d.wait()
-            vol = vol_b[slot]
+            # 16-bit vol/acc/out storage streams at half the HBM
+            # traffic; the recurrence always computes in f32 (the
+            # casts are no-ops for the f32 default path)
+            vol = vol_b[slot].astype(jnp.float32)
 
             @pl.when(t > 1)
             def _():
                 out_dma(slot, t - 2).wait()
 
             def emit(val):
-                out_b[slot] = (val + acc_b[slot]) if with_acc else val
+                out_b[slot] = ((val + acc_b[slot].astype(jnp.float32))
+                               if with_acc else val).astype(out_b.dtype)
                 prev[:] = val
 
             @pl.when(t == 0)
