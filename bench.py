@@ -89,6 +89,11 @@ def main():
             _bench_bf16(params, x0, x1, disp_max), 4)
     except Exception as e:  # pragma: no cover
         extra["fast_bf16_error"] = type(e).__name__
+    try:
+        extra["fast_bf16vol_pairs_per_s"] = round(
+            _bench_bf16vol(params, x0, x1, disp_max), 4)
+    except Exception as e:  # pragma: no cover
+        extra["fast_bf16vol_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",
@@ -135,6 +140,32 @@ def _bench_bf16(params, x0, x1, disp_max):
     from mccnn_tpu.pipeline import stereo_predict
 
     cfg = make_config("kitti", "fast", a="time", dtype="bfloat16")
+    run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
+    float(jnp.sum(run()))  # compile + warm
+    N = 10
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N):
+            out = run()
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / N
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
+def _bench_bf16vol(params, x0, x1, disp_max):
+    """Fast pipeline with `-vol_dtype bfloat16` (16-bit cost-volume
+    STORAGE through the join + SGM sweeps; compute stays f32).
+    Parity-breaking by rounding (golden pair: 0.58% of pixels move
+    >1px, mean |Δ| 0.057 px — tests/test_tpu_kernels.py) — reported
+    alongside the f32 headline, never as it."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import stereo_predict
+
+    cfg = make_config("kitti", "fast", a="time", vol_dtype="bfloat16")
     run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
     float(jnp.sum(run()))  # compile + warm
     N = 10

@@ -43,9 +43,12 @@ def init_params(cfg: Config, seed: int | None = None):
 
 
 def load_params(cfg: Config):
-    """Load -net_fname, or fresh-init when absent (the reference errors;
-    a random net is more useful for timing/smoke runs). A ``.t7`` name
-    loads a reference-format ascii checkpoint (main.lua:892-902)."""
+    """Load -net_fname. A ``.t7`` name loads a reference-format ascii
+    checkpoint (main.lua:892-902). Missing net: evaluation actions
+    (test_te/test_all/submit) hard-error like the reference — silently
+    scoring a random net would produce garbage behind one WARNING line;
+    ``-a time``/predict keep the fresh-init convenience (timing and
+    smoke runs don't need trained weights)."""
     params = init_params(cfg)
     if params is not None and cfg.net_fname:
         if cfg.net_fname.endswith(".t7"):
@@ -53,7 +56,11 @@ def load_params(cfg: Config):
             params, _ = params_from_t7(cfg.net_fname)
         else:
             params, _, _ = checkpoint.load(cfg.net_fname, params)
-    elif params is not None and cfg.a in ("test_te", "test_all", "submit", "predict"):
+    elif params is not None and cfg.a in ("test_te", "test_all", "submit"):
+        raise SystemExit(
+            f"-a {cfg.a} with arch {cfg.arch} requires -net_fname "
+            "(main.lua:892-902)")
+    elif params is not None and cfg.a == "predict":
         print("WARNING: no -net_fname given; using randomly initialized weights")
     return params
 

@@ -109,11 +109,14 @@ class Config:
 
     # TPU-native extensions (no reference analog)
     dtype: str = "float32"  # compute dtype for the matching network
-    # cost-volume STORAGE dtype for the HWD fast lane: float16 halves
-    # the SGM sweeps' HBM streaming (the pipeline's dominant traffic);
-    # the recurrence still computes in f32 — only the per-sweep
-    # stored values round (f16: 11 mantissa bits; bf16 accepted but
-    # its 8 bits visibly shift WTA margins). float32 = exact default.
+    # cost-volume STORAGE dtype for the HWD fast lane: a 16-bit type
+    # halves the SGM sweeps' HBM streaming (the pipeline's dominant
+    # traffic); every arithmetic step still computes in f32 — only the
+    # per-sweep stored values round. bfloat16 is the TPU choice (the
+    # Mosaic dialect has no f16 vector type on v5e); float16 runs in
+    # the interpret-mode CPU lane only. Measured on the golden KITTI
+    # pair (PERF.md): bf16 moves 0.58% of pixels >1px, mean |Δ| 0.057
+    # px, for ~+11% pairs/s. float32 = exact default.
     vol_dtype: str = "float32"
     backend: str = ""  # jax platform to run on ("cpu"/"tpu"; "" = default, cli.apply_device)
     data_dir: str = ""  # override dataset directory

@@ -325,7 +325,11 @@ def subpixel_enhancement_hwd(d0: jnp.ndarray, vol: jnp.ndarray,
     dn = d[..., None]
 
     def sel(offset):
-        return jnp.sum(jnp.where(ds == dn + offset, vol, 0.0), axis=-1)
+        # exactly one selected lane per pixel, so a 16-bit-stored
+        # volume sums without accumulation error; the parabola then
+        # computes in f32 (only the stored samples are rounded)
+        return jnp.sum(jnp.where(ds == dn + offset, vol, 0.0),
+                       axis=-1).astype(jnp.float32)
 
     cn, cz, cp = sel(-1), sel(0), sel(1)
     denom = 2 * (cp + cn - 2 * cz)

@@ -386,9 +386,9 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
         pltpu.VMEM((2, St, Dp), vol_s.dtype),               # vol_b
     ] + ([pltpu.VMEM((2, St, Dp), vol_s.dtype)] if with_acc else []) + [
         pltpu.VMEM((2, St, Dp), vol_s.dtype),               # out_b
-        pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
-        pltpu.VMEM((St, WL), vol_s.dtype),                  # d1 slab
-        pltpu.VMEM((St, GL), vol_s.dtype),                  # g slab
+        pltpu.VMEM((St, Dp), jnp.float32),                  # prev (compute)
+        pltpu.VMEM((St, WL), d1_slab.dtype),                # d1 slab
+        pltpu.VMEM((St, GL), g_slab.dtype),                 # g slab
         pltpu.SemaphoreType.DMA((2,)),                      # in_sems
     ] + ([pltpu.SemaphoreType.DMA((2,))] if with_acc else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # out_sems
@@ -409,16 +409,19 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
     return out
 
 
-def _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc, budget=13_000_000):
+def _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc, vol_itemsize=4,
+                  budget=13_000_000):
     """Scanline tile for :func:`_sweep_stream_hnat`: the largest tile
     dividing Hp whose kernel VMEM footprint (double-buffered
-    (St, K, Dp) vol/out(/acc) blocks + wavefront state + penalty
-    slabs) fits the ~16 MB/core budget with headroom."""
+    (St, K, Dp) vol/out(/acc) blocks in the volume's STORAGE dtype +
+    f32 wavefront state + f32 penalty slabs) fits the ~16 MB/core
+    budget with headroom."""
     nbuf = 3 if with_acc else 2
     for st in (256, 192, 128, 64):
         if Hp % st:
             continue
-        vmem = (nbuf * 2 * st * K * Dp + st * Dp + st * (WLp + GL)) * 4
+        vmem = (nbuf * 2 * st * K * Dp * vol_itemsize
+                + (st * Dp + st * (WLp + GL)) * 4)
         if vmem <= budget:
             return st
     raise ValueError(f"no scanline tile divides Hp={Hp} within VMEM")
@@ -903,9 +906,9 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
         pltpu.VMEM((2, St, Dp), vol_s.dtype),               # vol_b
     ] + ([pltpu.VMEM((2, St, Dp), vol_s.dtype)] if with_acc else []) + [
         pltpu.VMEM((2, St, Dp), vol_s.dtype),               # out_b
-        pltpu.VMEM((St, Dp), vol_s.dtype),                  # prev
-        pltpu.VMEM((St, HL), vol_s.dtype),                  # d1 slab
-        pltpu.VMEM((2, Tg, Lw), vol_s.dtype),               # g windows
+        pltpu.VMEM((St, Dp), jnp.float32),                  # prev (compute)
+        pltpu.VMEM((St, HL), d1_slab.dtype),                # d1 slab
+        pltpu.VMEM((2, Tg, Lw), g_rev.dtype),               # g windows
     ] + ([pltpu.VMEM((Tg, Lw), jnp.int32),                  # packed cls
           pltpu.VMEM((St, Lw), jnp.int32)] if pk_mode else []) + [
         pltpu.SemaphoreType.DMA((2,)),                      # in_sems
@@ -1226,7 +1229,8 @@ def _sgm_slab_hwd(x0, x1, vol, D, H, W, *, xrev, pi1, pi2, tau_so, alpha1,
     K = 8
     GL = -(-(W + K + D + Dp + 128) // 128) * 128
     WLp = -(-W // 128) * 128 + 128  # headroom for the tail group's load
-    St_h = _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc=True)
+    St_h = _pick_st_hnat(Hp, K, Dp, WLp, GL, with_acc=True,
+                         vol_itemsize=vol.dtype.itemsize)
     acc = acc_v
     # For the x-reversed storage the natural -> sweep (sgm_dir 0) runs
     # the stored steps in REVERSE, and both passes read lane-reversed

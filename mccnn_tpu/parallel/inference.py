@@ -243,7 +243,8 @@ def make_batch_predict_sharded(cfg: Config, mesh: Mesh, disp_max: int,
                 alpha1=float(cfg.alpha1), sgm_q1=float(cfg.sgm_q1),
                 sgm_q2=float(cfg.sgm_q2), sgm_i=int(cfg.sgm_i),
                 blur_t=float(cfg.blur_t), sm_terminate=cfg.sm_terminate,
-                sm_skip=cfg.sm_skip, return_vols=False)
+                sm_skip=cfg.sm_skip, return_vols=False,
+                vol_dtype=cfg.vol_dtype)
         vols = pipe._volumes_jit(params, x0, x1, arch=cfg.arch,
                                  disp_max=int(disp_max), ws=cfg.ws,
                                  dtype_name=cfg.dtype, use_pallas=pallas)

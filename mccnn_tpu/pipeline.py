@@ -212,7 +212,8 @@ def _method_jit(vols, x0, x1, *, disp_max, directions, kitti,
 def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
                    dtype_name, pi1, pi2, tau_so, alpha1, sgm_q1, sgm_q2,
                    sgm_i, blur_t, sm_terminate, sm_skip, return_vols,
-                   directions=(1, -1), disp_true=None):
+                   directions=(1, -1), disp_true=None,
+                   vol_dtype="float32"):
     """The fast-arch pipeline in the join's native disparity-minor
     layout (TPU default when no CBCA is configured — every KITTI fast
     config has cbca_i1 = cbca_i2 = 0).
@@ -243,6 +244,19 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
     keeps d, the same decision the exact-shape bounds guard makes.
     (The standard lane's large-finite sentinel is approximate at that
     boundary; this lane has no CBCA mean to protect, so NaN is safe.)
+
+    vol_dtype (``-vol_dtype``, TPU-native extension): STORAGE dtype of
+    the cost volume through the join and the SGM sweeps. The SGM
+    streaming traffic is the pipeline's dominant cost (~5.4 GB per
+    direction at KITTI scale in f32), so float16/bfloat16 halve it;
+    every arithmetic step — the join's dots, the SGM recurrence, the
+    WTA compare, the subpixel parabola — still computes in f32 and
+    only the values written back to HBM round (f16: 10 mantissa bits
+    + denormals; bf16: 8 bits). Parity-breaking by rounding, never by
+    semantics: NaN masks, fix_border and the fused WTA flow
+    identically. Accuracy qualification: tests/test_tpu_kernels.py
+    asserts bounded WTA-flip rate and |Δdisp| vs the f32 run; PERF.md
+    records the measured rates on the golden pair.
     """
     from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
 
@@ -258,11 +272,12 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
     fr = feats[1].astype(jnp.float32)
     if single:
         cur_lr = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix, sides="left",
-                                     d_true=disp_true)
+                                     d_true=disp_true, out_dtype=vol_dtype)
         cur_r = None
     else:
         cur_lr, cur_r = stereo_join_mxu_hwd(fl, fr, D, n_fix=n_fix,
-                                            d_true=disp_true)
+                                            d_true=disp_true,
+                                            out_dtype=vol_dtype)
 
     sgm_ran = _active_after(sm_terminate, "cbca1") and sm_skip != "sgm"
     if sgm_ran:
@@ -339,7 +354,8 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
 _fast_hwd_jit = functools.partial(jax.jit, static_argnames=(
     "disp_max", "kitti", "ws", "dtype_name", "sgm_i", "blur_t",
     "sm_terminate", "sm_skip", "return_vols", "directions",
-    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2"))(_fast_hwd_body)
+    "pi1", "pi2", "tau_so", "alpha1", "sgm_q1", "sgm_q2",
+    "vol_dtype"))(_fast_hwd_body)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "H", "W", "xrev",
@@ -347,9 +363,10 @@ _fast_hwd_jit = functools.partial(jax.jit, static_argnames=(
 def _hwd_unpack_vol(vol, *, D, H, W, xrev, scale4):
     """Stored-layout (H', Wp, Dp) HWD volume -> natural (D, H, W) for
     the predict-mode .bin dumps. ``scale4`` applies the deferred /4 of
-    the SGM sweep sum. Kept OUT of _fast_hwd_jit — see the runtime-bug
-    note there."""
-    v = vol[:H, :W, :D]
+    the SGM sweep sum; 16-bit-stored volumes widen to the f32 output
+    contract (README:63-66). Kept OUT of _fast_hwd_jit — see the
+    runtime-bug note there."""
+    v = vol[:H, :W, :D].astype(jnp.float32)
     if xrev:
         v = v[:, ::-1]
     if scale4:
@@ -419,7 +436,24 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
     else:
         directions = (1, -1)
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
-    if _hwd_eligible(cfg, directions, disp_max, disp_true):
+    hwd = _hwd_eligible(cfg, directions, disp_max, disp_true)
+    if cfg.vol_dtype != "float32" and not hwd:
+        # -vol_dtype controls the HWD lane's volume STORAGE; silently
+        # running the f32 standard lane would misreport a benchmark.
+        raise ValueError(
+            f"-vol_dtype {cfg.vol_dtype} requires the fast HWD lane "
+            "(fast arch, cbca_i1=cbca_i2=0, no volume cache, TPU "
+            "Pallas path)")
+    if cfg.vol_dtype == "float16" and jax.default_backend() == "tpu":
+        # The Mosaic TPU dialect has no f16 vector type (v5e); the
+        # kernel would die deep in the compiler. bf16 is the chip's
+        # native 16-bit storage — same halved HBM traffic, 8 mantissa
+        # bits instead of 10. (float16 stays supported in the
+        # interpret-mode CPU lane, where the tests qualify it.)
+        raise ValueError(
+            "-vol_dtype float16 is unsupported by the TPU Mosaic "
+            "dialect; use -vol_dtype bfloat16")
+    if hwd:
         out = _fast_hwd_jit(
             params, jnp.asarray(x0), jnp.asarray(x1), blur_kernel,
             disp_max=int(disp_max),
@@ -432,7 +466,8 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
             return_vols=return_vols, directions=tuple(directions),
             disp_true=(None if disp_true is None
                        or int(disp_true) == int(disp_max)
-                       else int(disp_true)))
+                       else int(disp_true)),
+            vol_dtype=cfg.vol_dtype)
         if not return_vols:
             return out
         d_final, cur_lr, cur_r = out

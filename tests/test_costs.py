@@ -138,3 +138,40 @@ def test_stereo_join_mxu_hwd_interpret():
     for a, b in ((want_l, gl), (want_r, gr)):
         assert np.array_equal(np.isnan(a), np.isnan(b))
         assert np.nanmax(np.abs(a - b)) < 1e-5
+
+
+@pytest.mark.parametrize("out_dtype", ["float16", "bfloat16"])
+def test_stereo_join_mxu_hwd_out_dtype(out_dtype):
+    """16-bit STORAGE join (``-vol_dtype``): the half-width output must
+    equal the f32 output cast to the storage dtype — the dots compute
+    in f32, only the store rounds — with identical NaN pads (rows,
+    columns, lanes) and an identical fix_border column fill."""
+    import jax
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.RandomState(7)
+    H, W, C, D, n = 17, 140, 32, 36, 4
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+    with jax.default_device(cpu):
+        f32_lr, f32_r = stereo_join_mxu_hwd(
+            jnp.asarray(fl), jnp.asarray(fr), D, n_fix=n, interpret=True)
+        got_lr, got_r = stereo_join_mxu_hwd(
+            jnp.asarray(fl), jnp.asarray(fr), D, n_fix=n, interpret=True,
+            out_dtype=out_dtype)
+    for f32v, got in ((f32_lr, got_lr), (f32_r, got_r)):
+        assert got.dtype == jnp.dtype(out_dtype)
+        want = np.asarray(f32v.astype(jnp.dtype(out_dtype))
+                          .astype(jnp.float32))
+        got = np.asarray(got.astype(jnp.float32))
+        assert np.array_equal(np.isnan(want), np.isnan(got))
+        assert np.array_equal(np.nan_to_num(want), np.nan_to_num(got))
+    # the pad geometry survives the cast
+    got_r = np.asarray(got_r.astype(jnp.float32))
+    assert np.all(np.isnan(got_r[H:]))
+    assert np.all(np.isnan(got_r[:, :, D:]))
+    assert np.all(np.isnan(got_r[:, W:, :]))

@@ -182,6 +182,73 @@ def test_fast_hwd_single_direction_interpret(monkeypatch):
     assert float((np.abs(d_h - d_s) > 0.51).mean()) < 0.01
 
 
+@pytest.mark.parametrize("vol_dtype", ["float16", "bfloat16"])
+def test_fast_hwd_vol_dtype_16bit(monkeypatch, vol_dtype):
+    """-vol_dtype float16/bfloat16 (16-bit cost-volume STORAGE through
+    the join + SGM sweeps; every arithmetic step still computes in
+    f32) must stay within rounding distance of the f32 run: same
+    shapes, finite output, small WTA-flip rate and sub-pixel mean
+    |Δdisp|. The predict-mode volumes widen back to the f32 output
+    contract (README:63-66)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.ops import post
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    rng = np.random.RandomState(31)
+    H, W, D = 48, 200, 40
+    base = rng.randn(H, W + D).astype(np.float32)
+    x0 = jnp.asarray(base[:, D:])
+    x1 = jnp.asarray(base[:, :-D])
+    blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
+    common = dict(disp_max=D, kitti=True, ws=cfg.ws, dtype_name="float32",
+                  pi1=float(cfg.pi1), pi2=float(cfg.pi2),
+                  tau_so=float(cfg.tau_so), alpha1=float(cfg.alpha1),
+                  sgm_q1=float(cfg.sgm_q1), sgm_q2=float(cfg.sgm_q2),
+                  sgm_i=int(cfg.sgm_i), blur_t=float(cfg.blur_t),
+                  sm_terminate=cfg.sm_terminate, sm_skip=cfg.sm_skip)
+
+    d32 = np.asarray(pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                         return_vols=False, **common))
+    d16, vl16, vr16 = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
+                                          return_vols=True,
+                                          vol_dtype=vol_dtype, **common)
+    assert vl16.dtype == jnp.dtype(vol_dtype)
+    assert vr16.dtype == jnp.dtype(vol_dtype)
+    vl = pipe._hwd_unpack_vol(vl16, D=D, H=H, W=W, xrev=True, scale4=True)
+    assert vl.dtype == jnp.float32  # widened .bin output contract
+    d16 = np.asarray(d16)
+    assert d16.shape == d32.shape and np.isfinite(d16).all()
+    flip = float((np.abs(d16 - d32) > 1.0).mean())
+    mad = float(np.abs(d16 - d32).mean())
+    # random-noise inputs are the WORST case for 16-bit WTA margins
+    # (adjacent costs are statistically close); natural imagery flips
+    # far less (the TPU golden-pair test quantifies that).
+    assert flip < 0.15, flip
+    assert mad < 1.0, mad
+
+
+def test_vol_dtype_requires_hwd_lane():
+    """-vol_dtype on a non-HWD config must error, not silently run the
+    f32 standard lane (it would misreport a benchmark)."""
+    cfg = make_config("kitti", "fast", a="predict", vol_dtype="float16",
+                      cbca_i1=2)  # CBCA forces the standard lane
+    params = init_params(cfg)
+    with pytest.raises(ValueError, match="vol_dtype"):
+        stereo_predict(cfg, params, X0, X1, D)
+
+
 def test_fast_hwd_bucketed_disp_exact(monkeypatch):
     """D-bucketing through the HWD lane is EXACT: running at a padded
     disp_max bucket with disp_true set must reproduce the exact-shape

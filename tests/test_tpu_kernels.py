@@ -357,6 +357,52 @@ def test_rowsharded_predict_vs_single():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_vol_dtype_bf16_qualification():
+    """-vol_dtype bfloat16 (16-bit cost-volume storage through the HWD
+    join + SGM sweeps) qualified on the real chip against the f32 run
+    on the golden KITTI pair: bounded WTA-flip rate and mean |Δdisp|
+    (measured r03: 0.575% of pixels move >1px, mean |Δ| 0.057 px — the
+    bounds here are 4x those). float16 must error helpfully: the
+    Mosaic TPU dialect has no f16 vector type."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.utils.images import load_gray, standardize
+
+    sample = "/root/reference/samples/input"
+    if os.path.isdir(sample):
+        x0 = standardize(load_gray(os.path.join(sample, "kittiL.png")))
+        x1 = standardize(load_gray(os.path.join(sample, "kittiR.png")))
+        D = 228
+    else:  # synthetic fallback: shifted natural-ish smooth field
+        rng = np.random.RandomState(2)
+        D = 64
+        base = np.cumsum(rng.randn(256, 512 + D), axis=1).astype(np.float32)
+        x0, x1 = base[:, D:], base[:, :-D]
+        x0 = (x0 - x0.mean()) / x0.std()
+        x1 = (x1 - x1.mean()) / x1.std()
+    params = init_params(make_config("kitti", "fast"))
+    x0, x1 = jax.device_put(x0), jax.device_put(x1)
+
+    d32 = np.asarray(pipe.stereo_predict(
+        make_config("kitti", "fast", a="predict"), params, x0, x1, D))
+    d16 = np.asarray(pipe.stereo_predict(
+        make_config("kitti", "fast", a="predict", vol_dtype="bfloat16"),
+        params, x0, x1, D))
+    flip = float((np.abs(d16 - d32) > 1.0).mean())
+    mad = float(np.abs(d16 - d32).mean())
+    assert flip < 0.025, f"bf16 WTA flip rate {flip:.4f}"
+    assert mad < 0.25, f"bf16 mean |Δdisp| {mad:.4f}"
+
+    with pytest.raises(ValueError, match="bfloat16"):
+        pipe.stereo_predict(
+            make_config("kitti", "fast", a="predict", vol_dtype="float16"),
+            params, x0, x1, D)
+
+
 def test_mb_halfres_scale_fits():
     """BASELINE.md: 'Middlebury half-res accurate config must fit via
     tiling/halo sharding (reference needs a 12 GB GPU)'. One v5e chip
