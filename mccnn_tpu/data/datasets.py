@@ -300,3 +300,77 @@ def make_synthetic_mb(out_dir: str, n_images: int = 3, height: int = 48,
     tofile(os.path.join(out_dir, "te.bin"), np.asarray([1], np.int64))
     with open(os.path.join(out_dir, "fname_submit.txt"), "w") as f:
         f.write("\n".join(fname_submit))
+
+
+def make_occlusion_pair(height: int, width: int, disp_max: int,
+                        seed: int = 0, noise: float = 0.03,
+                        n_objects: int = 3):
+    """Synthetic stereo pair with TRUE occlusions and noise.
+
+    A background plane at disparity ``disp_max // 4`` with
+    ``n_objects`` foreground rectangles at higher disparities; the
+    right view is forward-splatted from the left with a z-buffer
+    (nearer surface wins), so the background band immediately left of
+    each foreground object is genuinely occluded — visible in the
+    left image, covered in the right — and disoccluded right-view
+    holes get fresh texture that matches nothing in the left image.
+    This is the geometry the reference's KITTI-only refinement chain
+    (LR outlier detection -> occlusion fill -> mismatch fill,
+    main.lua:1054-1066) exists to repair; the constant-disparity
+    synthetic sets never exercise it.
+
+    Returns ``(left, right, gt_disp, occluded, valid)``: float32
+    images (unstandardized), the full left-reference ground-truth
+    disparity (including occluded pixels, like KITTI's disp_occ),
+    the boolean occlusion mask (z-buffer losers), and the valid-GT
+    mask (match inside the right frame).
+    """
+    rng = np.random.RandomState(seed)
+    tex = rng.randn(height, width).astype(np.float32)
+    k = np.ones(5, np.float32) / 5
+    for axis in (0, 1):
+        tex = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), axis, tex)
+    tex = (tex - tex.mean()) / (tex.std() + 1e-6)
+
+    d_bg = max(1, disp_max // 4)
+    d = np.full((height, width), d_bg, np.float32)
+    bh, bw = max(8, height // 3), max(8, width // 6)
+    for i in range(n_objects):
+        y0 = rng.randint(0, max(1, height - bh))
+        x0 = rng.randint(disp_max, max(disp_max + 1, width - bw))
+        d_fg = rng.randint(disp_max // 2, disp_max - 1)
+        d[y0:y0 + bh, x0:x0 + bw] = d_fg
+        tex[y0:y0 + bh, x0:x0 + bw] += 0.5  # faint object edge
+
+    left = tex
+    right = np.zeros_like(left)
+    zbuf = np.full((height, width), -1.0, np.float32)
+    for x in range(width):
+        dx = d[:, x].astype(np.int64)
+        xr = x - dx
+        ys = np.nonzero(xr >= 0)[0]
+        xrv = xr[ys]
+        win = d[ys, x] > zbuf[ys, xrv]
+        ys, xrv = ys[win], xrv[win]
+        right[ys, xrv] = left[ys, x]
+        zbuf[ys, xrv] = d[ys, x]
+    # disoccluded holes: texture visible only in the right view
+    holes = zbuf < 0
+    fill = rng.randn(height, width).astype(np.float32)
+    for axis in (0, 1):
+        fill = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), axis, fill)
+    right[holes] = fill[holes] / (fill.std() + 1e-6)
+
+    xs = np.arange(width)[None, :]
+    valid = xs - d >= 0
+    occluded = np.zeros((height, width), bool)
+    inb = valid
+    occluded[inb] = zbuf[np.nonzero(inb)[0],
+                         (xs - d.astype(np.int64))[inb]] > d[inb]
+
+    left = left + rng.randn(height, width).astype(np.float32) * noise
+    right = right + rng.randn(height, width).astype(np.float32) * noise
+    return (left.astype(np.float32), right.astype(np.float32), d,
+            occluded, valid)

@@ -292,3 +292,48 @@ def test_fast_hwd_bucketed_disp_exact(monkeypatch):
     d_bucket = pipe._fast_hwd_body(params, x0, x1, blur_kernel,
                                    disp_max=Db, disp_true=D, **common)
     assert np.array_equal(np.asarray(d_exact), np.asarray(d_bucket))
+
+
+def test_refinement_chain_repairs_occlusions():
+    """End-to-end accuracy validation of the KITTI refinement chain on
+    a synthetic scene with TRUE occlusions (VERDICT r02 #3): foreground
+    rectangles over a background plane, right view forward-splatted
+    with a z-buffer, so LR-inconsistent regions exist exactly where
+    the reference's outlier_detection -> occlusion fill -> mismatch
+    fill chain (main.lua:1054-1066) is supposed to repair them. The
+    constant-disparity synthetic sets never exercise this; the
+    per-kernel oracles prove semantics but not that the chain REDUCES
+    ERROR. This test fails if the fill stages stop helping."""
+    from mccnn_tpu.data.datasets import make_occlusion_pair
+    from mccnn_tpu.utils.images import standardize
+
+    H, W, D = 64, 160, 24
+    left, right, gt, occ, valid = make_occlusion_pair(H, W, D, seed=1)
+    x0 = standardize(left)
+    x1 = standardize(right)
+
+    def bad3(pred, mask):
+        return float((np.abs(pred - gt)[mask] > 3.0).mean())
+
+    cfg_wta = make_config("kitti", "census", a="predict",
+                          sm_terminate="cbca2")   # stop right after WTA
+    cfg_fill = make_config("kitti", "census", a="predict",
+                           sm_terminate="mismatch")  # + outlier/occ/mis
+    cfg_full = make_config("kitti", "census", a="predict")
+    d_wta = np.asarray(stereo_predict(cfg_wta, None, x0, x1, D))
+    d_fill = np.asarray(stereo_predict(cfg_fill, None, x0, x1, D))
+    d_full = np.asarray(stereo_predict(cfg_full, None, x0, x1, D))
+
+    m_all = valid
+    m_occ = occ & valid
+    assert m_occ.sum() > 100  # the scene really has occlusions
+    # the fill stages must substantially repair the occluded band
+    assert bad3(d_fill, m_occ) < bad3(d_wta, m_occ) - 0.10, (
+        bad3(d_fill, m_occ), bad3(d_wta, m_occ))
+    # and improve (never regress) the overall error
+    assert bad3(d_fill, m_all) < bad3(d_wta, m_all), (
+        bad3(d_fill, m_all), bad3(d_wta, m_all))
+    # the remaining stages (subpixel/median/blur) must not undo it
+    assert bad3(d_full, m_all) <= bad3(d_fill, m_all) + 0.01
+    # absolute quality: the full pipeline solves this easy scene
+    assert bad3(d_full, m_all) < 0.10, bad3(d_full, m_all)
