@@ -85,6 +85,11 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["slow_error"] = type(e).__name__
     try:
+        extra["census_pairs_per_s"] = round(
+            _bench_arch("census", x0, x1, disp_max), 4)
+    except Exception as e:  # pragma: no cover
+        extra["census_error"] = type(e).__name__
+    try:
         extra["fast_bf16_pairs_per_s"] = round(
             _bench_bf16(params, x0, x1, disp_max), 4)
     except Exception as e:  # pragma: no cover
@@ -176,6 +181,28 @@ def _bench_bf16vol(params, x0, x1, disp_max):
             out = run()
         float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / N
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
+def _bench_arch(arch, x0, x1, disp_max):
+    """Non-learned baseline pipeline pairs/s (census: 12 CBCA
+    iterations over D=228 — the heaviest CBCA config, timing the
+    production cross/cbca path at real scale)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import stereo_predict
+
+    cfg = make_config("kitti", arch, a="time")
+    run = lambda: stereo_predict(cfg, None, x0, x1, disp_max)
+    float(jnp.sum(run()))  # compile + warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        float(jnp.sum(out))
+        dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return 1.0 / best
 

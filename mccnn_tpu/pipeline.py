@@ -31,23 +31,42 @@ from mccnn_tpu.models import towers
 from mccnn_tpu.ops import costs, cross, post, sgm as sgm_mod
 
 
-def slow_cost_volumes(params, x0, x1, disp_max: int, dtype=jnp.float32):
+def slow_cost_volumes(params, x0, x1, disp_max: int, dtype=jnp.float32,
+                      use_pallas=None):
     """Accurate-arch cost volumes over full images.
 
     The reference runs the conv tower once per image and then loops
     d = 1..disp_max, applying the FC head (as 1×1 convs) to
-    shift-concatenated feature maps (main.lua:962-977). Here the head
-    is a dense pytree applied under a ``lax.scan`` over disparity — on
-    TPU each step is one (H·W, 2C)×(2C, nh2) MXU matmul chain.
+    shift-concatenated feature maps (main.lua:962-977, the ~67 s/pair
+    hot loop).
+
+    TPU path: the fused Pallas MLP-chain kernel
+    (:mod:`mccnn_tpu.ops.slow_head_pallas`) — the FC head's weights
+    live in VMEM, activations never touch HBM, and the shifted
+    right-feature slab is loaded once per (row, column) tile and
+    reused across a whole chunk of disparities. Elsewhere: a
+    ``lax.map`` over disparity, each step one (H·W, 2C)×(2C, nh2) MXU
+    matmul chain. (A chunked/first-layer-factored XLA variant was
+    measured SLOWER than this map on the chip — the per-step matmul
+    chain is HBM-bound and the factoring only traded matmul time for
+    un-overlapped elementwise traffic.)
 
     Returns (vol_L, vol_R), each (D, H, W), NaN out of frame; output is
     P(non-match) in (0,1), lower = better.
     """
+    from mccnn_tpu.ops.sgm import _pallas_default
+
     feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
                                arch="slow", padding="SAME", dtype=dtype)
     fl, fr = feats[0], feats[1]  # (H, W, C)
     H, W, C = fl.shape
     xs = jnp.arange(W)
+    D = disp_max
+
+    pallas = _pallas_default() if use_pallas is None else use_pallas
+    if pallas and len(params["head"]) >= 3:  # kernel needs >=1 mid layer
+        from mccnn_tpu.ops.slow_head_pallas import slow_volumes_mxu
+        return slow_volumes_mxu(params, fl, fr, D, dtype=dtype)
 
     def one(d):
         # pair left pixel x with right pixel x-d (left-referenced)
@@ -121,7 +140,8 @@ def _volumes_jit(params, x0, x1, *, arch, disp_max, ws, dtype_name,
         else:
             vol_l, vol_r = costs.stereo_join(feats[0], feats[1], D)
     elif arch == "slow":
-        vol_l, vol_r = slow_cost_volumes(params, x0, x1, D, dtype=dtype)
+        vol_l, vol_r = slow_cost_volumes(params, x0, x1, D, dtype=dtype,
+                                         use_pallas=use_pallas)
     else:
         raise ValueError(arch)
     n = (ws - 1) // 2

@@ -337,3 +337,40 @@ def test_refinement_chain_repairs_occlusions():
     assert bad3(d_full, m_all) <= bad3(d_fill, m_all) + 0.01
     # absolute quality: the full pipeline solves this easy scene
     assert bad3(d_full, m_all) < 0.10, bad3(d_full, m_all)
+
+
+def test_slow_head_pallas_matches_direct(monkeypatch):
+    """The fused slow-head MLP-chain kernel (interpret mode) must match
+    the direct per-disparity shift-concat-apply_head formulation
+    (main.lua:962-977) to matmul-rounding tolerance, including a
+    non-lane-multiple nh2 (zero-padded channels must be exact)."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.models import towers
+    from mccnn_tpu.ops import costs
+    from mccnn_tpu.ops.slow_head_pallas import slow_volumes_mxu
+
+    for nh2, seed in ((16, 43), (24, 44)):
+        cfg = make_config("kitti", "slow", a="predict", l1=2, fm=8, l2=3,
+                          nh2=nh2)
+        params = init_params(cfg)
+        rng = np.random.RandomState(seed)
+        Hs, Ws, Ds = 11, 140, 19  # awkward: H%R, W%XT, D%K all nonzero
+        x0 = jnp.asarray(rng.randn(Hs, Ws).astype(np.float32))
+        x1 = jnp.asarray(rng.randn(Hs, Ws).astype(np.float32))
+        feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
+                                   arch="slow", padding="SAME")
+        fl, fr = feats[0], feats[1]
+
+        got_l, got_r = slow_volumes_mxu(params, fl, fr, Ds, interpret=True)
+
+        want_l, want_r = pipe.slow_cost_volumes(params, x0, x1, Ds,
+                                                use_pallas=False)
+        for got, want in ((got_l, want_l), (got_r, want_r)):
+            got, want = np.asarray(got), np.asarray(want)
+            assert np.array_equal(np.isnan(got), np.isnan(want))
+            # interpret-mode dots run f32 (no bf16 rounding), so the
+            # only differences are first-layer factoring accumulation
+            # order — tiny
+            assert np.nanmax(np.abs(got - want)) < 1e-4

@@ -357,6 +357,37 @@ def test_rowsharded_predict_vs_single():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_slow_head_kernel_vs_xla():
+    """The fused slow-head MLP-chain kernel on the chip vs the XLA
+    per-disparity formulation (both round matmul inputs to bf16 —
+    DEFAULT TPU precision — so they agree to accumulation-order
+    rounding). Awkward shapes: H not a multiple of the row tile, W not
+    of the column tile, D far below the 128-disparity chunk."""
+    import jax.numpy as jnp
+
+    from mccnn_tpu import pipeline as pipe
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.models import towers
+    from mccnn_tpu.ops.slow_head_pallas import slow_volumes_mxu
+
+    cfg = make_config("kitti", "slow", l1=2, fm=8, l2=4, nh2=384)
+    params = init_params(cfg)
+    rng = np.random.RandomState(13)
+    H, W, D = 21, 260, 37
+    x0 = jnp.asarray(rng.randn(H, W).astype(np.float32))
+    x1 = jnp.asarray(rng.randn(H, W).astype(np.float32))
+    feats = towers.apply_tower(params, jnp.stack([x0, x1])[..., None],
+                               arch="slow", padding="SAME")
+    got_l, got_r = slow_volumes_mxu(params, feats[0], feats[1], D)
+    want_l, want_r = pipe.slow_cost_volumes(params, x0, x1, D,
+                                            use_pallas=False)
+    for got, want in ((got_l, want_l), (got_r, want_r)):
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.array_equal(np.isnan(got), np.isnan(want))
+        assert np.nanmax(np.abs(got - want)) < 5e-5
+
+
 def test_vol_dtype_bf16_qualification():
     """-vol_dtype bfloat16 (16-bit cost-volume storage through the HWD
     join + SGM sweeps) qualified on the real chip against the f32 run
