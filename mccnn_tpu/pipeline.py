@@ -359,15 +359,19 @@ def _fast_hwd_body(params, x0, x1, blur_kernel, *, disp_max, kitti, ws,
         d_final = post.mean2d(d_final, blur_kernel, blur_t)
 
     if return_vols:
-        # Return the volumes in STORED layout and relayout in a
-        # SEPARATE jit (_hwd_unpack_vol): on the axon runtime, a jit
-        # OUTPUT that is a reversed+transposed view of a Pallas-derived
-        # buffer materializes corrupted at KITTI scale (verified: the
-        # identical array checks clean in-graph and dirty as an
-        # output; optimization_barrier does not help). Splitting the
-        # relayout into its own jit forces a clean materialization of
-        # the stored buffer first.
-        return d_final, cur_lr, cur_r
+        # Relayout to the natural (D, H, W) .bin contract in-graph.
+        # (Rounds 1-2 had to return the STORED layout and relayout in
+        # a separate jit: the axon runtime materialized
+        # reversed+transposed Pallas-derived jit outputs corrupted at
+        # KITTI scale. The runtime has since been fixed — verified
+        # bit-identical fused vs split through the full pipeline on
+        # the golden pair; `tools/check_axon_relayout.py` re-probes
+        # for regressions.)
+        kwv = dict(D=D, H=H, W=W, scale4=sgm_ran)
+        vol_l = _hwd_unpack_vol(cur_lr, xrev=True, **kwv)
+        vol_r = (None if cur_r is None
+                 else _hwd_unpack_vol(cur_r, xrev=False, **kwv))
+        return d_final, vol_l, vol_r
     return d_final
 
 
@@ -378,14 +382,12 @@ _fast_hwd_jit = functools.partial(jax.jit, static_argnames=(
     "vol_dtype"))(_fast_hwd_body)
 
 
-@functools.partial(jax.jit, static_argnames=("D", "H", "W", "xrev",
-                                             "scale4"))
 def _hwd_unpack_vol(vol, *, D, H, W, xrev, scale4):
     """Stored-layout (H', Wp, Dp) HWD volume -> natural (D, H, W) for
     the predict-mode .bin dumps. ``scale4`` applies the deferred /4 of
     the SGM sweep sum; 16-bit-stored volumes widen to the f32 output
-    contract (README:63-66). Kept OUT of _fast_hwd_jit — see the
-    runtime-bug note there."""
+    contract (README:63-66). Called inside _fast_hwd_body (traceable;
+    works standalone too)."""
     v = vol[:H, :W, :D].astype(jnp.float32)
     if xrev:
         v = v[:, ::-1]
@@ -488,16 +490,7 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
                        or int(disp_true) == int(disp_max)
                        else int(disp_true)),
             vol_dtype=cfg.vol_dtype)
-        if not return_vols:
-            return out
-        d_final, cur_lr, cur_r = out
-        H, W = np.asarray(x0).shape
-        sgm_ran = (_active_after(cfg.sm_terminate, "cbca1")
-                   and cfg.sm_skip != "sgm")
-        kw = dict(D=int(disp_max), H=int(H), W=int(W), scale4=sgm_ran)
-        return (d_final, _hwd_unpack_vol(cur_lr, xrev=True, **kw),
-                None if cur_r is None
-                else _hwd_unpack_vol(cur_r, xrev=False, **kw))
+        return out
     vols = compute_volumes(cfg, params, x0, x1, disp_max, pair_id=pair_id,
                            disp_true=disp_true)
     return _method_jit(
