@@ -99,6 +99,11 @@ def main():
             _bench_bf16vol(params, x0, x1, disp_max), 4)
     except Exception as e:  # pragma: no cover
         extra["fast_bf16vol_error"] = type(e).__name__
+    try:
+        extra["fast_bf16all_pairs_per_s"] = round(
+            _bench_bf16vol(params, x0, x1, disp_max, dtype="bfloat16"), 4)
+    except Exception as e:  # pragma: no cover
+        extra["fast_bf16all_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",
@@ -159,18 +164,21 @@ def _bench_bf16(params, x0, x1, disp_max):
     return 1.0 / best
 
 
-def _bench_bf16vol(params, x0, x1, disp_max):
+def _bench_bf16vol(params, x0, x1, disp_max, dtype="float32"):
     """Fast pipeline with `-vol_dtype bfloat16` (16-bit cost-volume
-    STORAGE through the join + SGM sweeps; compute stays f32).
+    STORAGE through the join + SGM sweeps; compute stays f32), and
+    with dtype="bfloat16" additionally the tower/join compute lane.
     Parity-breaking by rounding (golden pair: 0.58% of pixels move
-    >1px, mean |Δ| 0.057 px — tests/test_tpu_kernels.py) — reported
-    alongside the f32 headline, never as it."""
+    >1px, mean |Δ| 0.057 px storage-only; 0.62% / 0.062 px combined —
+    tests/test_tpu_kernels.py) — reported alongside the f32 headline,
+    never as it."""
     import jax.numpy as jnp
 
     from mccnn_tpu.config import make_config
     from mccnn_tpu.pipeline import stereo_predict
 
-    cfg = make_config("kitti", "fast", a="time", vol_dtype="bfloat16")
+    cfg = make_config("kitti", "fast", a="time", vol_dtype="bfloat16",
+                      dtype=dtype)
     run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
     float(jnp.sum(run()))  # compile + warm
     N = 10
