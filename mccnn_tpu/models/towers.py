@@ -129,3 +129,35 @@ def fast_describe(params, images, dtype=jnp.float32):
 def slow_describe(params, images, dtype=jnp.float32):
     """Image-mode descriptors for the slow net (no normalization)."""
     return apply_tower(params, images, arch="slow", padding="SAME", dtype=dtype)
+
+
+def print_net(cfg) -> None:
+    """Topology printer: one line per layer of the training net, the
+    shape the reference prints at net construction (print_net,
+    main.lua:542-564, called at main.lua:751; transcript README:194-212
+    — module names here are the honest JAX ones, the structure and
+    shape annotations match line for line)."""
+    n_in = cfg.n_input_plane
+    lines = []
+    if cfg.arch == "slow":
+        for i in range(cfg.l1):
+            lines.append(f"conv(in={n_in if i == 0 else cfg.fm}, "
+                         f"out={cfg.fm}, k={cfg.ks})")
+            lines.append("relu")
+        lines.append(f"reshape({cfg.bs}x{2 * cfg.fm})")
+        for i in range(cfg.l2):
+            lines.append(f"linear({2 * cfg.fm if i == 0 else cfg.nh2} "
+                         f"-> {cfg.nh2})")
+            lines.append("relu")
+        lines.append(f"linear({cfg.nh2} -> 1)")
+        lines.append("sigmoid")
+    elif cfg.arch == "fast":
+        # ReLU between convs but not after the last (main.lua:726-735)
+        for i in range(cfg.l1):
+            lines.append(f"conv(in={n_in if i == 0 else cfg.fm}, "
+                         f"out={cfg.fm}, k={cfg.ks})")
+            if i < cfg.l1 - 1:
+                lines.append("relu")
+        lines.append("l2_normalize")
+        lines.append("stereo_join1")
+    print("\n".join(lines))

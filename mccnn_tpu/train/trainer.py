@@ -210,6 +210,7 @@ def action_train(cfg: Config, tail: list[str]) -> None:
     from mccnn_tpu.cli import init_params
 
     ds = load_dataset(cfg)
+    towers.print_net(cfg)  # net topology echo (main.lua:751)
     params = init_params(cfg)
     momentum = None
     start_epoch = 1

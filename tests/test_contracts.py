@@ -237,3 +237,24 @@ def test_save_outlier_colors(tmp_path):
     assert tuple(img[2, 3]) == (0, 255, 0)
     assert tuple(img[5, 7]) == (255, 0, 0)
     assert tuple(img[0, 0]) == (127, 127, 127)
+
+
+def test_print_net_topology(capsys):
+    """Net-topology echo at train start (print_net, main.lua:542-564
+    called at main.lua:751; transcript shape README:194-212)."""
+    from mccnn_tpu.models.towers import print_net
+
+    print_net(make_config("kitti", "slow"))
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0] == "conv(in=1, out=112, k=3)"
+    assert out.count("conv(in=112, out=112, k=3)") == 3
+    assert "reshape(128x224)" in out
+    assert out.count("linear(384 -> 384)") == 3
+    assert out[-2:] == ["linear(384 -> 1)", "sigmoid"]
+    assert "linear(224 -> 384)" in out
+
+    print_net(make_config("kitti", "fast"))
+    out = capsys.readouterr().out.strip().split("\n")
+    # ReLU between convs but NOT after the last (main.lua:726-735)
+    assert out.count("relu") == 3 and out.count("conv(in=64, out=64, k=3)") == 3
+    assert out[-2:] == ["l2_normalize", "stereo_join1"]
