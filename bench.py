@@ -73,37 +73,33 @@ def main():
     baseline_pairs_per_s = 1.0 / 0.73
     pairs_per_s = 1.0 / per_pair
 
+    # Secondary lanes, each behind a wall-clock budget: every lane
+    # costs a fresh XLA/Mosaic compile (minutes on the remote tunnel),
+    # and a driver-side timeout mid-lane must never eat the headline —
+    # skipped lanes report "skipped_budget" instead.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("MCCNN_BENCH_BUDGET_S", "900"))
     extra = {}
-    try:
-        extra["fast_batch8_pairs_per_s"] = round(
-            _bench_batch8(cfg, params, x0, x1, disp_max), 4)
-    except Exception as e:  # pragma: no cover - keep the headline alive
-        extra["fast_batch8_error"] = type(e).__name__
-    try:
-        extra["slow_s_per_pair"] = round(
-            _bench_slow(x0, x1, disp_max), 4)
-    except Exception as e:  # pragma: no cover
-        extra["slow_error"] = type(e).__name__
-    try:
-        extra["census_pairs_per_s"] = round(
-            _bench_arch("census", x0, x1, disp_max), 4)
-    except Exception as e:  # pragma: no cover
-        extra["census_error"] = type(e).__name__
-    try:
-        extra["fast_bf16_pairs_per_s"] = round(
-            _bench_bf16(params, x0, x1, disp_max), 4)
-    except Exception as e:  # pragma: no cover
-        extra["fast_bf16_error"] = type(e).__name__
-    try:
-        extra["fast_bf16vol_pairs_per_s"] = round(
-            _bench_bf16vol(params, x0, x1, disp_max), 4)
-    except Exception as e:  # pragma: no cover
-        extra["fast_bf16vol_error"] = type(e).__name__
-    try:
-        extra["fast_bf16all_pairs_per_s"] = round(
-            _bench_bf16vol(params, x0, x1, disp_max, dtype="bfloat16"), 4)
-    except Exception as e:  # pragma: no cover
-        extra["fast_bf16all_error"] = type(e).__name__
+    lanes = [
+        ("fast_batch8_pairs_per_s",
+         lambda: _bench_batch8(cfg, params, x0, x1, disp_max)),
+        ("slow_s_per_pair", lambda: _bench_slow(x0, x1, disp_max)),
+        ("census_pairs_per_s",
+         lambda: _bench_arch("census", x0, x1, disp_max)),
+        ("fast_bf16vol_pairs_per_s",
+         lambda: _bench_bf16vol(params, x0, x1, disp_max)),
+        ("fast_bf16all_pairs_per_s",
+         lambda: _bench_bf16vol(params, x0, x1, disp_max,
+                                dtype="bfloat16")),
+    ]
+    for key, fn in lanes:
+        if time.perf_counter() - t_start > budget_s:
+            extra[key] = "skipped_budget"
+            continue
+        try:
+            extra[key] = round(fn(), 4)
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            extra[key.rsplit("_", 1)[0] + "_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",
@@ -136,30 +132,6 @@ def _bench_batch8(cfg, params, x0, x1, disp_max):
         out = run(params, x0b, x1b)
         float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / B
-        best = dt if best is None else min(best, dt)
-    return 1.0 / best
-
-
-def _bench_bf16(params, x0, x1, disp_max):
-    """Fast pipeline with `-dtype bfloat16` (tower + join compute in
-    bf16; flag-gated, parity-breaking — reported alongside the f32
-    headline, never as it)."""
-    import jax.numpy as jnp
-
-    from mccnn_tpu.config import make_config
-    from mccnn_tpu.pipeline import stereo_predict
-
-    cfg = make_config("kitti", "fast", a="time", dtype="bfloat16")
-    run = lambda: stereo_predict(cfg, params, x0, x1, disp_max)
-    float(jnp.sum(run()))  # compile + warm
-    N = 10
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N):
-            out = run()
-        float(jnp.sum(out))
-        dt = (time.perf_counter() - t0) / N
         best = dt if best is None else min(best, dt)
     return 1.0 / best
 

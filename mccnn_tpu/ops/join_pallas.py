@@ -47,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 XB = 128  # output columns per grid step (measured optimum on v5e:
           # 192/256 either exceed the kernel's VMEM budget or run
-          # slower — the shear's rolled copies scale with XB*SLAB)
-YB = 8    # rows per grid step (amortizes per-step overhead)
+          # slower — the shear's rolled copies scale with XB*SLAB;
+          # 64 is not lowerable, the a-block lane dim must be 128)
+YB = 16   # rows per grid step (r03 sweep: 15.3 -> 14.7 ms for both
+          # volumes vs YB=8; YB>=32 crashes the Mosaic compiler)
 
 
 def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
