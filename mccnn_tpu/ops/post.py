@@ -181,14 +181,25 @@ def interpolate_mismatch(d0: jnp.ndarray, outlier: jnp.ndarray) -> jnp.ndarray:
         has_list.append(has)
         vals_list.append(val)
 
-    has = jnp.stack(has_list)
-    vals = jnp.stack(vals_list)
-    cnt = has.sum(axis=0)
-    sorted_vals = jnp.sort(jnp.where(has, vals, jnp.inf), axis=0)
-    ks = jnp.arange(len(_RAY_DIRS), dtype=cnt.dtype)[:, None, None]
-    med = jnp.sum(jnp.where(ks == (cnt // 2)[None], sorted_vals, 0.0),
-                  axis=0)  # one-hot select, not a gather
-    fill = jnp.where(cnt > 0, med, d0)
+    # upper median vals[cnt/2] via the same fixed-index ±inf split as
+    # median2d (a = mid - cnt//2 rays fill -inf, the rest +inf, so the
+    # count-dependent rank lands at the FIXED index mid), read through
+    # the pruned min/max selection network instead of a 16-way sort +
+    # one-hot select
+    cnt = sum(h.astype(jnp.int32) for h in has_list)
+    mid = len(_RAY_DIRS) // 2
+    a = mid - cnt // 2
+    rank = jnp.zeros((H, W), jnp.int32)
+    vals = []
+    for h, v in zip(has_list, vals_list):
+        fill = jnp.where(rank < a, -jnp.inf, jnp.inf)
+        vals.append(jnp.where(h, v, fill))
+        rank = rank + (~h).astype(jnp.int32)
+    for i, j in _median_network(len(vals), mid):
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    fill = jnp.where(cnt > 0, vals[mid], d0)
     return jnp.where(is_mm, fill, d0)
 
 
