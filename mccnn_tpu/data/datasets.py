@@ -173,12 +173,17 @@ def subset_nnz(nnz: np.ndarray, image_ids: np.ndarray) -> np.ndarray:
 
 def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
                          width: int = 128, disp_max: int = 16,
-                         seed: int = 42, n_test_images: int = 0) -> None:
+                         seed: int = 42, n_test_images: int = 0,
+                         occlusions: bool = False) -> None:
     """Write a tiny synthetic dataset in the exact data.kitti layout.
 
     Left image = random smooth texture; right image = left shifted by a
-    ground-truth disparity plane. Used by tests and smoke training —
-    the reference has no equivalent (it assumes the real datasets), but
+    ground-truth disparity plane — or, with ``occlusions=True``,
+    z-buffer-rendered :func:`make_occlusion_pair` scenes whose
+    foreground/background discontinuities exercise the KITTI-only
+    refinement chain (dispnoc then excludes the occluded band like the
+    real KITTI disp_noc maps). Used by tests and smoke training — the
+    reference has no equivalent (it assumes the real datasets), but
     the binary contract matches preprocess_kitti.lua:118-144.
 
     ``n_test_images`` appends GT-less submission-test images to
@@ -195,6 +200,22 @@ def make_synthetic_kitti(out_dir: str, n_images: int = 4, height: int = 64,
     metadata = np.zeros((n_images, 3), np.int32)
     nnz_rows = []
     for i in range(n_images):
+        if occlusions:
+            left, right, dmap, occ, valid = make_occlusion_pair(
+                height, width, disp_max, seed=seed + 7 * i)
+            left = (left - left.mean()) / (left.std() + 1e-6)
+            right = (right - right.mean()) / (right.std() + 1e-6)
+            X0[i, 0] = left
+            X1[i, 0] = right
+            noc = valid & ~occ
+            dispnoc[i, 0] = np.where(noc, dmap, 0.0)
+            metadata[i] = (height, width, i)
+            ys, xs = np.nonzero(noc)
+            keep = (rng.rand(len(ys)) < 0.25) & (ys >= 8) \
+                & (ys < height - 8) & (xs >= 8) & (xs < width - 8)
+            for y, x in zip(ys[keep], xs[keep]):
+                nnz_rows.append((i + 1, y, x, dmap[y, x]))
+            continue
         base = rng.randn(height, width + disp_max).astype(np.float32)
         # smooth the texture so matching is learnable
         k = np.ones(5, np.float32) / 5

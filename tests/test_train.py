@@ -275,3 +275,46 @@ def test_train_then_val_bad3(synth_ds, arch):
     actual = np.asarray(ds.dispnoc[i - 1, 0])
     err = _eval_error(pred, actual, cfg.err_at)
     assert err < 0.05, f"{arch}: val bad-3px {err:.4f}"
+
+
+def test_train_then_val_on_occlusion_scenes(tmp_path):
+    """Learned fast net + the FULL refinement chain on scenes with
+    true occlusions (z-buffer-rendered fg/bg discontinuities): train
+    on three scenes, evaluate the complete pipeline on a held-out one,
+    and require both a sane absolute bad-3px on the non-occluded GT
+    and that the occlusion/mismatch fill stages do not regress it
+    (r02 VERDICT #3's end-to-end form — the constant-plane test never
+    exercises LR-inconsistent regions with a LEARNED net)."""
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
+    from mccnn_tpu.pipeline import stereo_predict
+    from mccnn_tpu.train.evaluate import _eval_error
+    from mccnn_tpu.train.trainer import train
+
+    make_synthetic_kitti(str(tmp_path / "data.kitti"), n_images=4,
+                         height=64, width=160, disp_max=24,
+                         occlusions=True)
+    cfg = make_config("kitti", "fast", a="train_tr",
+                      data_dir=str(tmp_path), bs=32)
+    ds = load_kitti(cfg)
+    ds.disp_max = 24
+    params = init_params(cfg)
+    params, _ = train(cfg, ds, params, epochs=2, log=lambda s: None)
+
+    cfg.a = "test_te"
+    i = int(ds.te[0])
+    x0 = np.asarray(ds.X0[i - 1, 0])
+    x1 = np.asarray(ds.X1[i - 1, 0])
+    actual = np.asarray(ds.dispnoc[i - 1, 0])
+    pred = np.asarray(stereo_predict(cfg, params, x0, x1, ds.disp_max))
+    assert not np.isnan(pred).any()
+    err_full = _eval_error(pred, actual, cfg.err_at)
+
+    cfg_wta = make_config("kitti", "fast", a="test_te",
+                          data_dir=str(tmp_path), sm_terminate="cbca2")
+    pred_wta = np.asarray(stereo_predict(cfg_wta, params, x0, x1,
+                                         ds.disp_max))
+    err_wta = _eval_error(pred_wta, actual, cfg.err_at)
+
+    assert err_full < 0.15, f"full-pipeline bad-3px {err_full:.4f}"
+    assert err_full <= err_wta + 0.01, (err_full, err_wta)
