@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -88,3 +89,28 @@ def test_gaussian_kernel_matches_lua():
     assert k.shape == (7, 7)
     assert k[3, 3] == 1.0
     assert np.isclose(k[3, 4], np.exp(-0.5))
+
+
+@pytest.mark.parametrize("shape,sigma,alpha2", [
+    ((40, 150), 1.7, 2.0),    # multi-row-group kernel, small image
+    ((70, 200), 7.74, 5.0),   # the KITTI 49x49 production kernel
+    ((64, 128), 2.78, 3.0),   # exact-tile image
+])
+def test_mean2d_pallas_interpret(shape, sigma, alpha2):
+    """The VMEM-resident Pallas blur stencil (interpret mode, runs
+    anywhere) against the XLA scan form and the loop oracle. The
+    production TPU path is re-validated on hardware by
+    tests/test_tpu_kernels.py."""
+    import jax
+
+    import naive
+    from mccnn_tpu.ops.blur_pallas import mean2d_pallas
+
+    rng2 = np.random.RandomState(sum(shape))
+    img = (rng2.rand(*shape) * 30).astype(np.float32)
+    kern = post.gaussian_kernel(sigma)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(mean2d_pallas(jnp.asarray(img), jnp.asarray(kern),
+                                       alpha2, interpret=True))
+    want = naive.mean2d(img, kern, alpha2)
+    assert_close(got, want, tol=1e-4)

@@ -357,6 +357,33 @@ def test_rowsharded_predict_vs_single():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_mean2d_pallas_vs_xla():
+    """The VMEM-resident blur stencil on the chip against the XLA scan
+    form at production scale and kernel size (49x49), plus an awkward
+    shape (rows/cols not tile multiples, small sigma)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops import post
+    from mccnn_tpu.ops.blur_pallas import mean2d_pallas
+
+    rng = np.random.RandomState(21)
+    for (H, W), sigma, t in (((370, 1226), 7.74, 5.0),
+                             ((67, 141), 1.67, 2.0)):
+        img = jax.device_put((rng.rand(H, W) * 30).astype(np.float32))
+        kern = jnp.asarray(post.gaussian_kernel(sigma))
+        got = np.asarray(mean2d_pallas(img, kern, t))
+        prev = os.environ.get("MCCNN_SGM_PALLAS")
+        from mccnn_tpu.ops import sgm as sgm_mod
+        saved = sgm_mod._PALLAS_MODE
+        sgm_mod._PALLAS_MODE = "0"  # force the XLA scan form
+        try:
+            want = np.asarray(post.mean2d(img, kern, t))
+        finally:
+            sgm_mod._PALLAS_MODE = saved
+        assert np.nanmax(np.abs(got - want)) < 1e-4, (H, W, sigma)
+
+
 def test_slow_head_kernel_vs_xla():
     """The fused slow-head MLP-chain kernel on the chip vs the XLA
     per-disparity formulation (both round matmul inputs to bf16 —
