@@ -1,5 +1,7 @@
 """CLI/stdout contracts the reference's harnesses rely on."""
 
+import os
+
 import numpy as np
 
 from mccnn_tpu.config import make_config, parse_args, print_args, cmd_str
@@ -258,3 +260,30 @@ def test_print_net_topology(capsys):
     # ReLU between convs but NOT after the last (main.lua:726-735)
     assert out.count("relu") == 3 and out.count("conv(in=64, out=64, k=3)") == 3
     assert out[-2:] == ["l2_normalize", "stereo_join1"]
+
+
+def test_cli_subprocess_roundtrip(tmp_path):
+    """Drive main.py through a real process boundary exactly like the
+    search harnesses do (hs.py:203-211 / rgs.py:85): synthetic
+    data.kitti, `python main.py kitti ad -a test_te`, argv echoed on
+    the first stdout line, score parseable from the LAST token."""
+    import subprocess
+    import sys
+
+    from mccnn_tpu.data.datasets import make_synthetic_kitti
+
+    make_synthetic_kitti(str(tmp_path / "data.kitti"), n_images=2,
+                         height=40, width=80, disp_max=8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MCCNN_SGM_PALLAS="0")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "main.py"), "kitti", "ad",
+         "-a", "test_te", "-data_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.strip().split("\n")
+    assert lines[0].split() == ["kitti", "ad", "-a", "test_te",
+                                "-data_dir", str(tmp_path)]
+    score = float(lines[-1].split()[-1])
+    assert 0.0 <= score <= 1.0
