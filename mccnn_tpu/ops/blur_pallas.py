@@ -44,8 +44,8 @@ KXG = 3   # kernel columns per grid step (8*3 = 24-tap body, the
           # compiler ceiling; KXG=4 compiles but measured slower)
 
 
-def _blur_kernel(kern_ref, img_ref, pads_hbm, out_ref, acc, cnt, slab,
-                 sem, *, ksz, alpha2, ngr, ngx):
+def _blur_kernel(kern_ref, a2_ref, img_ref, pads_hbm, out_ref, acc, cnt,
+                 slab, sem, *, ksz, ngr, ngx):
     gt = pl.program_id(0)
     kg = pl.program_id(1)
     kxg = pl.program_id(2)
@@ -77,7 +77,7 @@ def _blur_kernel(kern_ref, img_ref, pads_hbm, out_ref, acc, cnt, slab,
                     + jnp.minimum(kx, ksz - 1))
             win = jax.lax.slice(rows, (0, i), (ST, i + Wp))
             wk = jnp.where(valid, kern_ref[kidx], 0.0)
-            ok = jnp.abs(win - img) < alpha2  # False for NaN taps
+            ok = jnp.abs(win - img) < a2_ref[0]  # False for NaN taps
             w = jnp.where(ok, wk, 0.0)
             a = a + w * jnp.where(ok, win, 0.0)
             c = c + w
@@ -89,16 +89,16 @@ def _blur_kernel(kern_ref, img_ref, pads_hbm, out_ref, acc, cnt, slab,
         out_ref[:] = acc[:] / cnt[:]
 
 
-@functools.partial(jax.jit, static_argnames=("ksz", "alpha2", "interpret"))
-def _mean2d_call(img, pads, kern_flat, *, ksz, alpha2, interpret):
+@functools.partial(jax.jit, static_argnames=("ksz", "interpret"))
+def _mean2d_call(img, pads, kern_flat, alpha2, *, ksz, interpret):
     Hp, Wp = img.shape
     ngr = -(-ksz // KG)
     ngx = -(-ksz // KXG)
     return pl.pallas_call(
-        functools.partial(_blur_kernel, ksz=ksz, alpha2=alpha2,
-                          ngr=ngr, ngx=ngx),
+        functools.partial(_blur_kernel, ksz=ksz, ngr=ngr, ngx=ngx),
         grid=(Hp // ST, ngr, ngx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((ST, Wp), lambda t, kr, kx: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -112,7 +112,7 @@ def _mean2d_call(img, pads, kern_flat, *, ksz, alpha2, interpret):
                         pltpu.VMEM((ST + KG, pads.shape[2]), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(kern_flat, img, pads)
+    )(kern_flat, jnp.asarray(alpha2, jnp.float32).reshape(1), img, pads)
 
 
 def mean2d_pallas(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float,
@@ -140,6 +140,6 @@ def mean2d_pallas(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float,
                                            axis=1)
                       for g in range(ngx)])
     kern_flat = jnp.asarray(kernel, jnp.float32).reshape(-1)
-    out = _mean2d_call(img_p, pads, kern_flat, ksz=int(ksz),
-                       alpha2=float(alpha2), interpret=interpret)
+    out = _mean2d_call(img_p, pads, kern_flat, alpha2, ksz=int(ksz),
+                       interpret=interpret)
     return out[:H, :W]
