@@ -230,6 +230,13 @@ def make_batch_predict_sharded(cfg: Config, mesh: Mesh, disp_max: int,
                and int(cfg.cbca_i2) == 0 and pallas
                and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
                and os.environ.get("MCCNN_FAST_HWD", "1") != "0")
+    if cfg.vol_dtype != "float32" and not use_hwd:
+        # same contract as pipeline.stereo_predict: -vol_dtype controls
+        # the HWD lane's volume STORAGE — silently running the f32
+        # standard lane would misreport a benchmark
+        raise ValueError(
+            f"-vol_dtype {cfg.vol_dtype} requires the fast HWD lane "
+            "(fast arch, cbca_i1=cbca_i2=0, TPU Pallas mesh)")
     kw = _method_kwargs(cfg, disp_max, (1, -1))
     kw["sgm_pallas"] = pallas  # single-device inside the shard
 

@@ -97,3 +97,20 @@ def test_row_sharded_fast_matches_single(cpu_mesh):
     run = make_sharded_predict(cfg, cpu_mesh, D)
     got = np.asarray(run(params, x0, x1))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_sharded_vol_dtype_guard():
+    """The batch serving lane must reject -vol_dtype when the HWD
+    Pallas path is unavailable (same no-silent-f32 contract as
+    pipeline.stereo_predict)."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.parallel.inference import make_batch_predict_sharded
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("data",))
+    cfg = make_config("kitti", "fast", a="test_te", vol_dtype="bfloat16")
+    with pytest.raises(ValueError, match="vol_dtype"):
+        make_batch_predict_sharded(cfg, mesh, 8)
