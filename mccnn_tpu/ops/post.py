@@ -29,7 +29,16 @@ MATCH, OCCLUSION, MISMATCH = 0, 1, 2
 
 def outlier_detection(d0: jnp.ndarray, d1: jnp.ndarray, disp_max: int) -> jnp.ndarray:
     """Label each left-map pixel 0=match / 1=occlusion / 2=mismatch
-    (adcensus.cu:878-898). d0: left-referenced disparity, d1: right."""
+    (adcensus.cu:878-898). d0: left-referenced disparity, d1: right.
+
+    On TPU the VMEM-resident Pallas form (ops/outlier_pallas.py,
+    2.7 -> 1.9 ms at KITTI scale, bit-exact); the unrolled-shift XLA
+    form below elsewhere."""
+    from mccnn_tpu.ops.sgm import _pallas_default
+
+    if _pallas_default():
+        from mccnn_tpu.ops.outlier_pallas import outlier_detection_pallas
+        return outlier_detection_pallas(d0, d1, disp_max)
     H, W = d0.shape
     xs = jnp.arange(W)[None, :]
     d0i = d0.astype(jnp.int32)

@@ -114,3 +114,24 @@ def test_mean2d_pallas_interpret(shape, sigma, alpha2):
                                        alpha2, interpret=True))
     want = naive.mean2d(img, kern, alpha2)
     assert_close(got, want, tol=1e-4)
+
+
+@pytest.mark.parametrize("shape,D", [((10, 20), 7), ((33, 141), 25)])
+def test_outlier_pallas_interpret(shape, D):
+    """The VMEM-resident outlier-labeling kernel (interpret mode) must
+    be bit-exact against the unrolled-shift XLA form; the TPU lane
+    re-validates on hardware."""
+    import jax
+
+    from mccnn_tpu.ops.outlier_pallas import outlier_detection_pallas
+
+    rng2 = np.random.RandomState(sum(shape) + D)
+    H, W = shape
+    d0 = np.round(rng2.rand(H, W) * (D - 1)).astype(np.float32)
+    d1 = np.round(rng2.rand(H, W) * (D - 1)).astype(np.float32)
+    want = np.asarray(post.outlier_detection(jnp.asarray(d0),
+                                             jnp.asarray(d1), D))
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(outlier_detection_pallas(
+            jnp.asarray(d0), jnp.asarray(d1), D, interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -384,6 +384,32 @@ def test_mean2d_pallas_vs_xla():
         assert np.nanmax(np.abs(got - want)) < 1e-4, (H, W, sigma)
 
 
+def test_outlier_pallas_vs_xla():
+    """The VMEM-resident outlier-labeling kernel on the chip must be
+    bit-exact against the unrolled-shift XLA form at production scale
+    and on an awkward shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops import post, sgm as sgm_mod
+    from mccnn_tpu.ops.outlier_pallas import outlier_detection_pallas
+
+    rng = np.random.RandomState(31)
+    for (H, W), D in (((370, 1226), 228), ((67, 141), 25)):
+        d0 = jax.device_put(
+            np.round(rng.rand(H, W) * (D - 1)).astype(np.float32))
+        d1 = jax.device_put(
+            np.round(rng.rand(H, W) * (D - 1)).astype(np.float32))
+        got = np.asarray(outlier_detection_pallas(d0, d1, D))
+        saved = sgm_mod._PALLAS_MODE
+        sgm_mod._PALLAS_MODE = "0"  # the XLA form
+        try:
+            want = np.asarray(post.outlier_detection(d0, d1, D))
+        finally:
+            sgm_mod._PALLAS_MODE = saved
+        assert np.array_equal(got, want), (H, W, D)
+
+
 def test_slow_head_kernel_vs_xla():
     """The fused slow-head MLP-chain kernel on the chip vs the XLA
     per-disparity formulation (both round matmul inputs to bf16 —
