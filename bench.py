@@ -81,25 +81,25 @@ def main():
     budget_s = float(os.environ.get("MCCNN_BENCH_BUDGET_S", "900"))
     extra = {}
     lanes = [
-        ("fast_batch8_pairs_per_s",
+        ("fast_batch8", "fast_batch8_pairs_per_s",
          lambda: _bench_batch8(cfg, params, x0, x1, disp_max)),
-        ("slow_s_per_pair", lambda: _bench_slow(x0, x1, disp_max)),
-        ("census_pairs_per_s",
+        ("slow", "slow_s_per_pair", lambda: _bench_slow(x0, x1, disp_max)),
+        ("census", "census_pairs_per_s",
          lambda: _bench_arch("census", x0, x1, disp_max)),
-        ("fast_bf16vol_pairs_per_s",
+        ("fast_bf16vol", "fast_bf16vol_pairs_per_s",
          lambda: _bench_bf16vol(params, x0, x1, disp_max)),
-        ("fast_bf16all_pairs_per_s",
+        ("fast_bf16all", "fast_bf16all_pairs_per_s",
          lambda: _bench_bf16vol(params, x0, x1, disp_max,
                                 dtype="bfloat16")),
     ]
-    for key, fn in lanes:
+    for name, key, fn in lanes:
         if time.perf_counter() - t_start > budget_s:
             extra[key] = "skipped_budget"
             continue
         try:
             extra[key] = round(fn(), 4)
         except Exception as e:  # pragma: no cover - keep the headline alive
-            extra[key.rsplit("_", 1)[0] + "_error"] = type(e).__name__
+            extra[f"{name}_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "kitti_fast_full_pipeline",

@@ -124,6 +124,9 @@ def make_sharded_predict(cfg: Config, mesh: Mesh, disp_max: int,
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
     kw = _method_kwargs(cfg, disp_max, (1, -1))
     mesh_tpu = mesh.devices.flat[0].platform == "tpu"
+    # the row-sharded lane never uses the HWD storage path, so any
+    # non-f32 -vol_dtype must hard-error here (no-silent-f32 contract)
+    pipe.check_vol_dtype(cfg, hwd=False, tpu=mesh_tpu)
     use_slab = (_pallas_default() and mesh_tpu
                 and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0")
     kw["sgm_fn"] = _make_rowsharded_sgm(cfg, mesh, axis, use_slab)
@@ -230,13 +233,7 @@ def make_batch_predict_sharded(cfg: Config, mesh: Mesh, disp_max: int,
                and int(cfg.cbca_i2) == 0 and pallas
                and os.environ.get("MCCNN_SGM_HSLAB", "1") != "0"
                and os.environ.get("MCCNN_FAST_HWD", "1") != "0")
-    if cfg.vol_dtype != "float32" and not use_hwd:
-        # same contract as pipeline.stereo_predict: -vol_dtype controls
-        # the HWD lane's volume STORAGE — silently running the f32
-        # standard lane would misreport a benchmark
-        raise ValueError(
-            f"-vol_dtype {cfg.vol_dtype} requires the fast HWD lane "
-            "(fast arch, cbca_i1=cbca_i2=0, TPU Pallas mesh)")
+    pipe.check_vol_dtype(cfg, hwd=use_hwd, tpu=mesh_tpu)
     kw = _method_kwargs(cfg, disp_max, (1, -1))
     kw["sgm_pallas"] = pallas  # single-device inside the shard
 
@@ -280,6 +277,8 @@ def make_batch_predict(cfg: Config, mesh: Mesh, disp_max: int,
     """Batched pair→disparity: (B, H, W) pairs sharded over `axis` —
     data-parallel serving throughput (B pairs per dispatch)."""
     axis = axis or mesh.axis_names[0]
+    pipe.check_vol_dtype(cfg, hwd=False,
+                         tpu=mesh.devices.flat[0].platform == "tpu")
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
     kw = _method_kwargs(cfg, disp_max, (1, -1))
     batch = NamedSharding(mesh, P(axis, None, None))

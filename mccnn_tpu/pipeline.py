@@ -442,6 +442,29 @@ def compute_volumes(cfg: Config, params, x0, x1, disp_max: int,
     return vols
 
 
+def check_vol_dtype(cfg: Config, hwd: bool, tpu: bool) -> None:
+    """The ``-vol_dtype`` contract, shared by every entry lane
+    (stereo_predict and both sharded factories in parallel/inference).
+
+    16-bit cost-volume STORAGE exists only on the fast HWD Pallas lane;
+    a configuration that would silently fall back to the f32 standard
+    lane must hard-error (it would misreport a benchmark). float16 on
+    TPU also hard-errors: the Mosaic TPU dialect has no f16 vector type
+    on v5e — the kernel would die deep in the compiler — and bfloat16
+    is the chip's native 16-bit storage with the same halved HBM
+    traffic (float16 stays supported in the interpret-mode CPU lane,
+    where the tests qualify it)."""
+    if cfg.vol_dtype != "float32" and not hwd:
+        raise ValueError(
+            f"-vol_dtype {cfg.vol_dtype} requires the fast HWD lane "
+            "(fast arch, cbca_i1=cbca_i2=0, no volume cache, TPU "
+            "Pallas path)")
+    if cfg.vol_dtype == "float16" and tpu:
+        raise ValueError(
+            "-vol_dtype float16 is unsupported by the TPU Mosaic "
+            "dialect; use -vol_dtype bfloat16")
+
+
 def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
                    return_vols: bool = False, pair_id=None,
                    disp_true=None):
@@ -459,22 +482,7 @@ def stereo_predict(cfg: Config, params, x0, x1, disp_max: int,
         directions = (1, -1)
     blur_kernel = jnp.asarray(post.gaussian_kernel(cfg.blur_sigma))
     hwd = _hwd_eligible(cfg, directions, disp_max, disp_true)
-    if cfg.vol_dtype != "float32" and not hwd:
-        # -vol_dtype controls the HWD lane's volume STORAGE; silently
-        # running the f32 standard lane would misreport a benchmark.
-        raise ValueError(
-            f"-vol_dtype {cfg.vol_dtype} requires the fast HWD lane "
-            "(fast arch, cbca_i1=cbca_i2=0, no volume cache, TPU "
-            "Pallas path)")
-    if cfg.vol_dtype == "float16" and jax.default_backend() == "tpu":
-        # The Mosaic TPU dialect has no f16 vector type (v5e); the
-        # kernel would die deep in the compiler. bf16 is the chip's
-        # native 16-bit storage — same halved HBM traffic, 8 mantissa
-        # bits instead of 10. (float16 stays supported in the
-        # interpret-mode CPU lane, where the tests qualify it.)
-        raise ValueError(
-            "-vol_dtype float16 is unsupported by the TPU Mosaic "
-            "dialect; use -vol_dtype bfloat16")
+    check_vol_dtype(cfg, hwd=hwd, tpu=jax.default_backend() == "tpu")
     if hwd:
         out = _fast_hwd_jit(
             params, jnp.asarray(x0), jnp.asarray(x1), blur_kernel,

@@ -114,3 +114,41 @@ def test_batch_sharded_vol_dtype_guard():
     cfg = make_config("kitti", "fast", a="test_te", vol_dtype="bfloat16")
     with pytest.raises(ValueError, match="vol_dtype"):
         make_batch_predict_sharded(cfg, mesh, 8)
+
+
+def test_row_sharded_vol_dtype_guard():
+    """The row-sharded single-pair lane never uses the HWD storage
+    path, so ANY non-f32 -vol_dtype must hard-error instead of silently
+    running the f32 standard lane (ADVICE r03: the benchmark-misreport
+    scenario the stereo_predict guard exists to prevent)."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.parallel.inference import make_sharded_predict
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("data",))
+    cfg = make_config("kitti", "fast", a="predict", vol_dtype="bfloat16")
+    with pytest.raises(ValueError, match="vol_dtype"):
+        make_sharded_predict(cfg, mesh, 8)
+
+
+def test_vol_dtype_guard_helper_float16_tpu():
+    """The shared check_vol_dtype helper rejects float16 when the mesh
+    is TPU even on the HWD lane (Mosaic has no f16 vector type), and
+    accepts bfloat16 there — the single contract every entry lane now
+    routes through (stereo_predict + both sharded factories)."""
+    import pytest
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import check_vol_dtype
+
+    cfg16 = make_config("kitti", "fast", a="predict", vol_dtype="float16")
+    with pytest.raises(ValueError, match="bfloat16"):
+        check_vol_dtype(cfg16, hwd=True, tpu=True)
+    check_vol_dtype(cfg16, hwd=True, tpu=False)  # CPU interpret lane ok
+    cfgbf = make_config("kitti", "fast", a="predict", vol_dtype="bfloat16")
+    check_vol_dtype(cfgbf, hwd=True, tpu=True)
+    with pytest.raises(ValueError, match="HWD"):
+        check_vol_dtype(cfgbf, hwd=False, tpu=True)
