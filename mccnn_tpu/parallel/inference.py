@@ -269,6 +269,10 @@ def make_batch_predict_sharded(cfg: Config, mesh: Mesh, disp_max: int,
         params = jax.device_put(params, repl)
         return predict(params, x0b, x1b)
 
+    # exposed for tests: lets the scaling test inspect the compiled
+    # HLO (no cross-shard collectives on the batch path, by
+    # construction — checked, not assumed)
+    run._predict = predict
     return run
 
 

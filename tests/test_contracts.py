@@ -287,3 +287,50 @@ def test_cli_subprocess_roundtrip(tmp_path):
                                 "-data_dir", str(tmp_path)]
     score = float(lines[-1].split()[-1])
     assert 0.0 <= score <= 1.0
+
+
+def test_kitti_submit_png16_layout_and_zip(tmp_path, monkeypatch):
+    """-a submit for KITTI (VERDICT r03 #6, the PNG16 twin of
+    test_mb_submit_writes_pfm): the GT-less test slab is written as
+    16-bit PNGs named <id>_10.png whose decode (256x scale, 0=invalid,
+    adcensus.cu:1690-1705) matches the predicted disparities, into
+    out/ for 2012 and out/disp_0/ for 2015 (main.lua:1107-1120), and
+    submission.zip holds exactly those files."""
+    import zipfile
+
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
+    from mccnn_tpu.data.png16 import read_png16
+    from mccnn_tpu.train.evaluate import action_eval, bucketed_predict
+
+    for dataset, subdir in (("kitti", "out"), ("kitti2015", "out/disp_0")):
+        d = tmp_path / dataset
+        d.mkdir()
+        make_synthetic_kitti(str(d / f"data.{dataset}"), n_images=2,
+                             height=40, width=80, disp_max=8,
+                             n_test_images=2)
+        monkeypatch.chdir(d)
+        cfg = make_config(dataset, "ad", a="submit", data_dir=str(d))
+        ds = load_kitti(cfg)
+        ds.disp_max, ds.height, ds.n_te = 8, 40, 2
+        action_eval(cfg, [], params=init_params(cfg), ds=ds)
+
+        # ids of the GT-less slab rows (metadata col 2), zero-padded 6
+        ids = [int(ds.metadata[i, 2]) for i in (2, 3)]
+        names = [f"{i:06d}_10.png" for i in ids]
+        for row, img_id, name in zip((2, 3), ids, names):
+            fname = os.path.join(subdir, name)
+            assert os.path.exists(fname), fname
+            got = read_png16(fname)
+            x0 = np.asarray(ds.X0[row, 0])
+            x1 = np.asarray(ds.X1[row, 0])
+            want = np.asarray(bucketed_predict(cfg, None, x0, x1, 8,
+                                               pair_id=img_id))
+            # PNG16 stores round(d*256)/256 and 0 for d < 1e-5
+            want = np.where(want < 1e-5, 0.0, want)
+            np.testing.assert_allclose(got, want, atol=1.0 / 256 + 1e-6)
+
+        with zipfile.ZipFile("out/submission.zip") as z:
+            zip_names = sorted(z.namelist())
+        prefix = "disp_0/" if dataset == "kitti2015" else ""
+        assert zip_names == sorted(prefix + n for n in names)

@@ -152,3 +152,37 @@ def test_vol_dtype_guard_helper_float16_tpu():
     check_vol_dtype(cfgbf, hwd=True, tpu=True)
     with pytest.raises(ValueError, match="HWD"):
         check_vol_dtype(cfgbf, hwd=False, tpu=True)
+
+
+def test_batch_lane_scaling_curve_shard_independent():
+    """VERDICT r03 #7: the batch serving lane at n=1,2,4,8 devices.
+
+    Two checked properties that turn "scales by construction" into a
+    tested invariant: (1) the per-pair outputs are identical at every
+    mesh size (per-pair work is shard-independent), (2) the compiled
+    HLO of the 8-device program contains no cross-shard collectives —
+    so pairs/s scales linearly with mesh size because nothing couples
+    the shards (BASELINE.md N-chip target)."""
+    from mccnn_tpu.parallel.inference import make_batch_predict_sharded
+
+    B, Hm, Wm, Dm = 8, 32, 48, 8
+    rng = np.random.RandomState(7)
+    x0b = rng.randn(B, Hm, Wm).astype(np.float32)
+    x1b = rng.randn(B, Hm, Wm).astype(np.float32)
+    cfg = make_config("kitti", "census", a="predict")
+
+    outs = {}
+    for n in (1, 2, 4, 8):
+        run = make_batch_predict_sharded(cfg, make_mesh(n, backend="cpu"),
+                                         Dm)
+        outs[n] = np.asarray(run(None, x0b, x1b))
+        if n == 8:
+            hlo = run._predict.lower(None, x0b, x1b).compile().as_text()
+            for coll in ("all-reduce", "all-gather", "all-to-all",
+                         "collective-permute", "reduce-scatter"):
+                assert coll not in hlo, (
+                    f"batch path compiled a cross-shard {coll}")
+    for n in (2, 4, 8):
+        np.testing.assert_array_equal(
+            outs[n], outs[1],
+            err_msg=f"batch lane output changed between n=1 and n={n}")

@@ -511,3 +511,55 @@ def test_mb_halfres_scale_fits():
     assert d.shape == (H, W)
     assert np.isfinite(d).all()
     assert d.min() >= 0 and d.max() < D
+
+
+def test_axon_relayout_probe_and_split_path_integrity():
+    """VERDICT r03 #9: re-probe the axon relayout bug every round on
+    the chip, BEFORE it can corrupt predict-mode dumps.
+
+    Two layers: (1) an independent in-graph-vs-host checksum of the
+    PRODUCTION split-jit path (pipeline._hwd_unpack_vol's pattern) —
+    this must always hold; (2) the fused-relayout probe
+    (tools/check_axon_relayout.py) as a subprocess — rc 1 means the
+    r01 workaround is still needed, rc 0 means it can be retired;
+    either way the probe must run and say which."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    rng = np.random.RandomState(3)
+    H, W, C, D = 350, 1242, 64, 228
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+
+    @jax.jit
+    def stored(fl, fr):
+        vol_lr, _ = stereo_join_mxu_hwd(fl, fr, D, n_fix=4)
+        return vol_lr
+
+    @jax.jit
+    def unpack(vol_lr):
+        v = jnp.transpose(vol_lr[:H, :W, :D][:, ::-1], (2, 0, 1))
+        return v, jnp.nansum(v, dtype=jnp.float64)
+
+    v, chk = unpack(stored(fl, fr))
+    v = np.asarray(v)
+    chk_host = float(np.nansum(v.astype(np.float64)))
+    assert abs(float(chk) - chk_host) < 1e-3 * max(1.0, abs(chk_host)), (
+        "the PRODUCTION split-jit relayout path corrupted on "
+        "materialization — predict-mode volume dumps are unsafe")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "check_axon_relayout.py")],
+        capture_output=True, text=True, timeout=900)
+    print(out.stdout.strip())
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    assert ("CLEAN" in out.stdout) or ("CORRUPTED" in out.stdout)

@@ -318,3 +318,27 @@ def test_train_then_val_on_occlusion_scenes(tmp_path):
 
     assert err_full < 0.15, f"full-pipeline bad-3px {err_full:.4f}"
     assert err_full <= err_wta + 0.01, (err_full, err_wta)
+
+    # VERDICT r03 #5: on the OCCLUDED pixels (the fixture's z-buffer
+    # losers — known exactly, unlike real KITTI), the fill chain must
+    # strictly reduce bad-3px vs the same pipeline with the fills
+    # skipped (-sm_skip occlusion skips outlier detection AND both
+    # fills, the main.lua:1054-1066 quirk). If interpolate_occlusion/
+    # interpolate_mismatch are stubbed to identity, full == nofill and
+    # the >=20% relative-reduction assert fails.
+    from mccnn_tpu.data.datasets import make_occlusion_pair
+
+    _, _, dmap, occ, valid = make_occlusion_pair(64, 160, 24,
+                                                 seed=42 + 7 * (i - 1))
+    cfg_nofill = make_config("kitti", "fast", a="test_te",
+                             data_dir=str(tmp_path), sm_skip="occlusion")
+    pred_nofill = np.asarray(stereo_predict(cfg_nofill, params, x0, x1,
+                                            ds.disp_max))
+    m = occ & valid
+    assert m.sum() > 50, "fixture lost its occluded band"
+    bad_full = float((np.abs(pred - dmap)[m] > cfg.err_at).mean())
+    bad_nofill = float((np.abs(pred_nofill - dmap)[m] > cfg.err_at).mean())
+    assert bad_full <= 0.8 * bad_nofill, (
+        f"fill chain no longer repairs occlusions: occluded-region "
+        f"bad-3px {bad_full:.4f} (with fills) vs {bad_nofill:.4f} "
+        f"(fills skipped)")
