@@ -556,16 +556,24 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                     out_dma(slot, tg - 2).wait()
 
             g = group(tg)
+            # per-group bulk transpose to (K, St, Dp): per-step
+            # sublane-strided [:, k, :] slices of the DMA layout cost
+            # ~2.3 ms/sweep at Hp=768; contiguous [k] slices of the
+            # transposed block are free and the bulk swapaxes itself
+            # measures at the pure-streaming floor (PERF.md r04)
+            v_nat = jnp.swapaxes(vol_b[slot], 0, 1).astype(jnp.float32)
+            a_nat = (jnp.swapaxes(acc_b[slot], 0, 1).astype(jnp.float32)
+                     if with_acc else None)
+            finals = [None] * K
             ks = range(K - 1, -1, -1) if reverse_steps else range(K)
             for k in ks:
                 x = g * K + k
                 # 16-bit vol/acc/out storage streams at half the HBM
                 # traffic; the recurrence always computes in f32 (the
                 # casts are no-ops for the f32 default path)
-                vol_k = vol_b[slot][:, k, :].astype(jnp.float32)
+                vol_k = v_nat[k]
                 p = prev[:]
-                pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
-                             keepdims=True)
+                pm = jnp.min(jnp.fmin(p, _BIG), axis=-1, keepdims=True)
                 off = x + D
                 off_al = pl.multiple_of((off // 128) * 128, 128)
                 rem = off - off_al
@@ -590,16 +598,15 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                 val = jnp.where(x == init_x, vol_k, vol_k + cost - pm)
                 is_pad = x >= T
                 outv = jnp.where(is_pad, vol_k, val)
-                final = (outv + acc_b[slot][:, k, :].astype(jnp.float32)
-                         ) if with_acc else outv
-                if write_out:
-                    out_b[slot, :, k, :] = final.astype(out_b.dtype)
+                final = (outv + a_nat[k]) if with_acc else outv
+                finals[k] = final
                 if wta:
                     # winner lane of the final per-pixel vector, into
                     # lane x % 128 of the flush block (broadcast-
                     # compare select; ties and all-NaN -> lowest lane,
-                    # matching costs.wta_hwd)
-                    fin = jnp.where(jnp.isnan(final), _BIG, final)
+                    # matching costs.wta_hwd; fmin absorbs NaN exactly
+                    # like the where(isnan) form)
+                    fin = jnp.fmin(final, _BIG)
                     m = jnp.min(fin, axis=-1, keepdims=True)
                     arg = jnp.min(jnp.where(fin == m, lane, Dp), axis=-1,
                                   keepdims=True)
@@ -609,6 +616,8 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                         wl == jax.lax.rem(x, 128), arg, wta_v[:])
                 prev[:] = jnp.where(is_pad, p, val)
             if write_out:
+                out_b[slot] = jnp.swapaxes(jnp.stack(finals), 0,
+                                           1).astype(out_b.dtype)
                 out_dma(slot, tg).start()
             if wta:
                 # flush the (St, 128) block when its last group is done
