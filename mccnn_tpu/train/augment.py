@@ -184,7 +184,7 @@ class AugmentSampler:
                     contrast_r=contrast_r)
 
     def build_batches(self, X0: np.ndarray, X1: np.ndarray,
-                      nnz: np.ndarray) -> dict:
+                      nnz: np.ndarray, device_gather: bool = False) -> dict:
         """Build device inputs for len(nnz) examples (4 patches each).
 
         X0/X1: (N, 1, H, W); nnz rows (img, y, x, disp) — img is
@@ -192,6 +192,15 @@ class AugmentSampler:
         Returns numpy arrays:
         windows (4n, WIN, WIN), minv (4n, 6), brightness/contrast (4n,).
         Patch order per example: (L, R+, L, R-) (main.lua:843-846).
+
+        device_gather=True: the per-step host->device window transfer
+        (the training loop's dominant cost through the tunnel,
+        PERF.md) is replaced by ON-DEVICE gathers from the HBM-resident
+        padded image stack — instead of "windows" the dict carries
+        "src" (4n,) int32 = which*N+img and "oy"/"ox" (4n,) int32
+        window origins, clipped to [-WIN, dim] (a window that needs
+        clipping lies entirely outside the frame, so the clipped
+        all-pad gather is bit-identical to the host zero-fill).
         """
         n = len(nnz)
         p = self.sample_params(n)
@@ -217,11 +226,16 @@ class AugmentSampler:
              p["hshear_r"], p["brightness_r"], p["contrast_r"]),
         ]
         n4 = 4 * n
-        windows = np.zeros((n4, WIN, WIN), np.float32)
+        windows = None if device_gather else np.zeros((n4, WIN, WIN),
+                                                      np.float32)
+        src_idx = np.zeros((n4,), np.int32) if device_gather else None
+        oys = np.zeros((n4,), np.int32) if device_gather else None
+        oxs = np.zeros((n4,), np.int32) if device_gather else None
         minv = np.zeros((n4, 6), np.float32)
         bri = np.zeros((n4,), np.float32)
         con = np.zeros((n4,), np.float32)
         H, W = X0.shape[-2], X0.shape[-1]
+        N = X0.shape[0]
         half = WIN // 2
         for k, (which, ctr_x, scale, phi, trans, hshear, b, c) in enumerate(slots):
             m = patch_matrix(ws, ctr_x, cy, scale, phi, trans, hshear)
@@ -232,17 +246,25 @@ class AugmentSampler:
             # shift the inverse translation into window coordinates
             mi[:, 2] -= ox
             mi[:, 5] -= oy
-            src = X0 if which == 0 else X1
-            wins = _gather_windows(src, img, oy, ox)
             sl = slice(k, n4, 4)
-            windows[sl] = wins
+            if device_gather:
+                src_idx[sl] = which * N + img
+                oys[sl] = np.clip(oy, -WIN, H)
+                oxs[sl] = np.clip(ox, -WIN, W)
+            else:
+                src = X0 if which == 0 else X1
+                windows[sl] = _gather_windows(src, img, oy, ox)
             minv[sl] = mi
             bri[sl] = b
             con[sl] = c
         labels = np.zeros((2 * n,), np.float32)
         labels[1::2] = 1.0  # (pos=0, neg=1) interleaved (main.lua:848-849)
-        return dict(windows=windows, minv=minv, brightness=bri, contrast=con,
-                    labels=labels)
+        out = dict(minv=minv, brightness=bri, contrast=con, labels=labels)
+        if device_gather:
+            out.update(src=src_idx, oy=oys, ox=oxs)
+        else:
+            out["windows"] = windows
+        return out
 
 
     def build_batches_mb(self, X: list, nnz: np.ndarray) -> dict:
@@ -323,6 +345,36 @@ class AugmentSampler:
         labels[1::2] = 1.0
         return dict(windows=windows, minv=minv, brightness=bri, contrast=con,
                     labels=labels)
+
+
+def pad_image_stack(X0: np.ndarray, X1: np.ndarray) -> jnp.ndarray:
+    """HBM-resident padded image stack for on-device window gathers.
+
+    Returns (2N, H+2*WIN, W+2*WIN) float32 — left images then right,
+    WIN zeros on every side so any clipped window origin from
+    :meth:`AugmentSampler.build_batches` is in-bounds and out-of-frame
+    taps read the zero fill (identical to the host gather's zero
+    fill). Real KITTI: 2 x 194 x 350 x 1242 f32 ~ 0.75 GB padded —
+    resident once for the whole run, replacing ~1 MB/step of window
+    transfer."""
+    X = np.concatenate([X0[:, 0], X1[:, 0]], axis=0)
+    X = np.pad(X, ((0, 0), (WIN, WIN), (WIN, WIN)))
+    return jnp.asarray(X, jnp.float32)
+
+
+def gather_windows_device(Xpad: jnp.ndarray, src: jnp.ndarray,
+                          oy: jnp.ndarray, ox: jnp.ndarray) -> jnp.ndarray:
+    """(B, WIN, WIN) windows from the padded stack, inside jit.
+
+    Origins are frame coordinates (possibly negative); the +WIN pad
+    offset makes every gather in-bounds, so ``lax.dynamic_slice``
+    never clamps and the result is bit-identical to the host
+    ``_gather_windows`` zero-fill semantics."""
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(Xpad, (i, y + WIN, x + WIN),
+                                     (1, WIN, WIN))[0]
+
+    return jax.vmap(one)(src, oy, ox)
 
 
 def _gather_windows(X: np.ndarray, img: np.ndarray, oy: np.ndarray,

@@ -64,30 +64,47 @@ def loss_fn(params, patches, labels, *, arch: str, m: float, pow: int,
     return losses.bce(p, labels)
 
 
-def make_train_chunk(cfg: Config):
-    """Build the jitted scan-over-minibatches update function."""
+def make_train_chunk(cfg: Config, device_gather: bool = False):
+    """Build the jitted scan-over-minibatches update function.
+
+    device_gather: the chunk carries window ORIGINS instead of window
+    pixels; each step gathers its (4n, WIN, WIN) windows from the
+    HBM-resident padded image stack (``augment.pad_image_stack``) —
+    the per-step host->device transfer drops from ~1 MB of windows to
+    ~10 KB of origins/affines (VERDICT r03 #3)."""
     import jax
     import jax.numpy as jnp
+
+    from mccnn_tpu.train.augment import gather_windows_device
 
     arch, ws = cfg.arch, cfg.ws
     m, pow_, mom = float(cfg.m), int(cfg.pow), float(cfg.mom)
     dtype = jnp.dtype(cfg.dtype)
 
-    def step(carry, batch):
-        params, momentum, lr = carry
-        patches = warp_patches(batch["windows"], batch["minv"],
-                               batch["brightness"], batch["contrast"], ws=ws)
-        err, grads = jax.value_and_grad(loss_fn)(
-            params, patches, batch["labels"], arch=arch, m=m, pow=pow_,
-            dtype=dtype)
-        momentum = jax.tree.map(lambda v, g: mom * v - lr * g, momentum, grads)
-        params = jax.tree.map(lambda w, v: w + v, params, momentum)
-        return (params, momentum, lr), err
+    def make_step(Xpad):
+        def step(carry, batch):
+            params, momentum, lr = carry
+            if device_gather:
+                windows = gather_windows_device(
+                    Xpad, batch["src"], batch["oy"], batch["ox"])
+            else:
+                windows = batch["windows"]
+            patches = warp_patches(windows, batch["minv"],
+                                   batch["brightness"], batch["contrast"],
+                                   ws=ws)
+            err, grads = jax.value_and_grad(loss_fn)(
+                params, patches, batch["labels"], arch=arch, m=m, pow=pow_,
+                dtype=dtype)
+            momentum = jax.tree.map(lambda v, g: mom * v - lr * g,
+                                    momentum, grads)
+            params = jax.tree.map(lambda w, v: w + v, params, momentum)
+            return (params, momentum, lr), err
+        return step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_chunk(params, momentum, lr, batches):
+    def train_chunk(params, momentum, lr, batches, Xpad=None):
         (params, momentum, _), errs = jax.lax.scan(
-            step, (params, momentum, lr), batches)
+            make_step(Xpad), (params, momentum, lr), batches)
         return params, momentum, errs
 
     return train_chunk
@@ -95,21 +112,28 @@ def make_train_chunk(cfg: Config):
 
 def _stack_chunk(sampler: AugmentSampler, ds: StereoDataset,
                  nnz_rows: np.ndarray, n_steps: int, bs_half: int,
-                 X0=None, X1=None) -> dict:
+                 X0=None, X1=None, device_gather: bool = False) -> dict:
     """Host side of a chunk: windows/matrices/photometrics for n_steps
     minibatches, shaped (n_steps, per-step...)."""
     if ds.dataset == "mb":
         b = sampler.build_batches_mb(ds.X, nnz_rows)
     else:
-        b = sampler.build_batches(X0, X1, nnz_rows)
+        b = sampler.build_batches(X0, X1, nnz_rows,
+                                  device_gather=device_gather)
     n4 = 4 * bs_half
-    return {
-        "windows": b["windows"].reshape(n_steps, n4, *b["windows"].shape[1:]),
+    out = {
         "minv": b["minv"].reshape(n_steps, n4, 6),
         "brightness": b["brightness"].reshape(n_steps, n4),
         "contrast": b["contrast"].reshape(n_steps, n4),
         "labels": b["labels"].reshape(n_steps, 2 * bs_half),
     }
+    if device_gather:
+        for k in ("src", "oy", "ox"):
+            out[k] = b[k].reshape(n_steps, n4)
+    else:
+        out["windows"] = b["windows"].reshape(n_steps, n4,
+                                              *b["windows"].shape[1:])
+    return out
 
 
 def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
@@ -144,15 +168,26 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
 
     if momentum is None:
         momentum = jax.tree.map(jnp.zeros_like, params)
-    train_chunk = make_train_chunk(cfg)
+    # device-resident training data (VERDICT r03 #3): KITTI image
+    # stacks fit HBM whole, so windows are gathered ON DEVICE and the
+    # host ships only origins. MB keeps the host gather (per-image
+    # shapes + lights/exposures don't stack).
+    import os as _os
+    device_gather = (ds.dataset != "mb"
+                     and _os.environ.get("MCCNN_DEVICE_GATHER", "1") != "0")
+    train_chunk = make_train_chunk(cfg, device_gather=device_gather)
 
     bs_half = cfg.bs // 2
     lr = float(cfg.lr)
+    Xpad = None
     if ds.dataset == "mb":
         X0 = X1 = None
     else:
         X0 = np.asarray(ds.X0[:, 0])[:, None]  # materialize mmap once
         X1 = np.asarray(ds.X1[:, 0])[:, None]
+        if device_gather:
+            from mccnn_tpu.train.augment import pad_image_stack
+            Xpad = jax.device_put(pad_image_stack(X0, X1))
     t0 = _time.time()
     for epoch in range(1, epochs + 1):
         if epoch == 12:
@@ -176,7 +211,8 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
             while pos < n_steps_total:
                 k = min(CHUNK_STEPS, n_steps_total - pos)
                 rows = nnz[perm[pos * bs_half:(pos + k) * bs_half]]
-                yield _stack_chunk(sampler, ds, rows, k, bs_half, X0, X1)
+                yield _stack_chunk(sampler, ds, rows, k, bs_half, X0, X1,
+                                   device_gather=device_gather)
                 pos += k
 
         from concurrent.futures import ThreadPoolExecutor
@@ -190,7 +226,7 @@ def train(cfg: Config, ds: StereoDataset, params, *, epochs: int = 14,
                     break
                 fut = pool.submit(lambda: next(it, None))
                 params, momentum, errs = train_chunk(
-                    params, momentum, jnp.float32(lr), chunk)
+                    params, momentum, jnp.float32(lr), chunk, Xpad)
                 errs = np.asarray(errs)
                 good = (errs >= 0) & (errs < 100)
                 for e in errs[~good]:

@@ -342,3 +342,30 @@ def test_train_then_val_on_occlusion_scenes(tmp_path):
         f"fill chain no longer repairs occlusions: occluded-region "
         f"bad-3px {bad_full:.4f} (with fills) vs {bad_nofill:.4f} "
         f"(fills skipped)")
+
+
+def test_device_gather_matches_host_gather(tmp_path, monkeypatch):
+    """Device-resident training data (VERDICT r03 #3): the on-device
+    window gather from the padded HBM image stack must train
+    bit-identically to the host gather path — same windows, same
+    augmentation, same SGD trajectory."""
+    import jax
+
+    from mccnn_tpu.cli import init_params
+    from mccnn_tpu.data.datasets import load_kitti, make_synthetic_kitti
+    from mccnn_tpu.train.trainer import train
+
+    make_synthetic_kitti(str(tmp_path / "data.kitti"), n_images=3,
+                         height=48, width=96, disp_max=12)
+    cfg = make_config("kitti", "fast", a="train_tr",
+                      data_dir=str(tmp_path), bs=16)
+    ds = load_kitti(cfg)
+    ds.disp_max = 12
+    outs = {}
+    for dg in ("0", "1"):
+        monkeypatch.setenv("MCCNN_DEVICE_GATHER", dg)
+        params = init_params(cfg)
+        p, _ = train(cfg, ds, params, epochs=1, log=lambda s: None)
+        outs[dg] = jax.tree.map(np.asarray, p)
+    for a, b in zip(jax.tree.leaves(outs["0"]), jax.tree.leaves(outs["1"])):
+        np.testing.assert_array_equal(a, b)
