@@ -39,6 +39,7 @@ passes) where a natural-x view is needed.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -86,22 +87,59 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
     SLAB = XB + Dp
     assert Hp % YB == 0 and Wp % XB == 0 and C % 8 == 0
     assert feat_b_pad.shape[2] == Wp + SLAB
+    nbx = Wp // XB
+    # Diagonal extraction strategy (see kernel body). "stride" uses one
+    # hardware strided rotate per block instead of log2(XB) masked
+    # roll+select passes; bit-identical output (the Gram values are
+    # unchanged, only their movement differs). MCCNN_JOIN_SHEAR=log
+    # restores the old form for A/B.
+    stride_shear = os.environ.get("MCCNN_JOIN_SHEAR", "stride") != "log"
+    if stride_shear:
+        # Wp-domain x-flip of the reference-side map: combined with the
+        # REVERSED a-block index map below, grid step xb's a-tile rows
+        # come out within-tile x-reversed — a_tile[i] = A[x0 + XB-1-i]
+        # at x0 = xb*XB — which is what makes every Gram diagonal a
+        # stride-1 lane offset (XLA fuses the flip into the prep pad
+        # copy; the b slab and output indexing are untouched).
+        feat_a = feat_a[:, :, ::-1]
+
+    nby = Hp // YB
 
     def kernel(dt_ref, a_ref, b_hbm, out_ref, slab, sem):
         xb = pl.program_id(1)
         y = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(y * YB, YB), :, pl.ds(xb * XB, SLAB)], slab, sem)
-        cp.start()
+        # Double-buffered match-side slab: the TPU grid runs steps
+        # sequentially (xb minor), so prefetching step+1's slab while
+        # this step computes hides the per-step DMA issue+wait latency
+        # that otherwise serializes every grid step (measured 4.5 ->
+        # 3.9 ms/volume on the mm-only floor).
+        step = y * nbx + xb
+        slot = jax.lax.rem(step, 2)
+
+        def slab_dma(slot_, step_):
+            y_ = step_ // nbx
+            x_ = jax.lax.rem(step_, nbx)
+            return pltpu.make_async_copy(
+                b_hbm.at[pl.ds(y_ * YB, YB), :, pl.ds(x_ * XB, SLAB)],
+                slab.at[slot_], sem.at[slot_])
+
+        @pl.when(step == 0)
+        def _():
+            slab_dma(0, 0).start()
+
+        @pl.when(step + 1 < nby * nbx)
+        def _():
+            slab_dma(1 - slot, step + 1).start()
+
         a_blk = a_ref[:]  # (YB, C, XB)
-        cp.wait()
+        slab_dma(slot, step).wait()
         # bf16x3 matmul (hand-split: Mosaic lowers only DEFAULT and
         # HIGHEST): ~1e-7 relative of the reference's f32 CUDA dot
         # (adcensus.cu:1480) at half the MXU cost of 6-pass HIGHEST.
         # Single-pass bf16 DOES shift WTA decisions; 3-pass does not
         # at any tested tolerance. a*b = (ah+al)(bh+bl) ~ ah@bh +
         # ah@bl + al@bh (the al@bl term is below f32 resolution).
-        b_blk = slab[:]
+        b_blk = slab[slot]
         a_hi = a_blk.astype(jnp.bfloat16)
         a_lo = (a_blk - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = b_blk.astype(jnp.bfloat16)
@@ -113,15 +151,57 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
                 preferred_element_type=jnp.float32)
 
         B = mm(a_hi, b_hi) + (mm(a_hi, b_lo) + mm(a_lo, b_hi))
-        # shear: Bs[y, i, e] = B[y, i, (e + i) mod SLAB] -> lane d of
-        # row i is B[i, i + d] = <a[x0+i], b[x0+i+d]>
-        row = jax.lax.broadcasted_iota(jnp.int32, B.shape, 1)
-        bit = 1
-        while bit < XB:
-            rolled = pltpu.roll(B, SLAB - bit, axis=2)
-            B = jnp.where((row & bit) != 0, rolled, B)
-            bit *= 2
-        blk = B[:, :, :Dp]  # (YB, XB, Dp)
+        if stride_shear:
+            # a-tile rows are within-tile x-REVERSED (see prep above):
+            # Gram row i is natural column x0+XB-1-i, so lane d of the
+            # needed output sits at j = d + (XB-1-i) — a shift LINEAR
+            # in the row index, which the hardware's strided rotate
+            # applies in ONE op (out[y,i,e] = B[y,i,(e-s-i) mod SLAB]
+            # at s = SLAB-XB+1 puts <a[x0+k], b[x0+k+d]> at lane d of
+            # row i = XB-1-k); the sublane reverse restores natural
+            # row order.
+            B = pltpu.roll(B, SLAB - XB + 1, axis=2, stride=1,
+                           stride_axis=1)
+            rblk = B[:, :, :Dp]  # (YB, XB, Dp), rows x-reversed
+            # Sublane reverse to restore natural row order: Mosaic has
+            # no vector `rev`, so ride the otherwise-idle MXU with the
+            # exchange-permutation matmul. BIT-exact via a truncating
+            # 3-way bf16 split: piece k is the next 8 mantissa bits
+            # (mask, not round — each piece is exactly bf16, the
+            # pieces' bit ranges are disjoint, so v1+v2+v3 == v and
+            # every 1.0*x / 0.0*x product and one-term f32 sum in the
+            # permutation matmul is exact).
+            P = jnp.broadcast_to(
+                (jax.lax.broadcasted_iota(jnp.int32, (XB, XB), 0)
+                 + jax.lax.broadcasted_iota(jnp.int32, (XB, XB), 1)
+                 == XB - 1).astype(jnp.bfloat16), (YB, XB, XB))
+
+            def trunc16(v):  # f32 -> exact-bf16 top slice of v
+                bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+                return jax.lax.bitcast_convert_type(
+                    bits & jnp.int32(-65536), jnp.float32)
+
+            v1 = trunc16(rblk)
+            r1 = rblk - v1
+            v2 = trunc16(r1)
+            v3 = r1 - v2  # <= 8 significant bits: exactly bf16
+
+            def pmm(m):  # (YB, XB, XB) @ (YB, XB, Dp) batched on YB
+                return jax.lax.dot_general(
+                    P, m.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+
+            blk = pmm(v1) + pmm(v2) + pmm(v3)
+        else:
+            # shear: Bs[y, i, e] = B[y, i, (e + i) mod SLAB] -> lane d
+            # of row i is B[i, i + d] = <a[x0+i], b[x0+i+d]>
+            row = jax.lax.broadcasted_iota(jnp.int32, B.shape, 1)
+            bit = 1
+            while bit < XB:
+                rolled = pltpu.roll(B, SLAB - bit, axis=2)
+                B = jnp.where((row & bit) != 0, rolled, B)
+                bit *= 2
+            blk = B[:, :, :Dp]  # (YB, XB, Dp)
         x = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1) + xb * XB
         d = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2)
         keep = (x + d < W) & (d < dt_ref[0])
@@ -152,15 +232,17 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
         grid=(Hp // YB, Wp // XB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((YB, C, XB), lambda y, x: (y, 0, x),
+            pl.BlockSpec((YB, C, XB),
+                         (lambda y, x: (y, 0, nbx - 1 - x)) if stride_shear
+                         else (lambda y, x: (y, 0, x)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((YB, XB, Dp), lambda y, x: (y, x, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, Dp), out_dtype),
-        scratch_shapes=[pltpu.VMEM((YB, C, SLAB), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, YB, C, SLAB), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(jnp.asarray(d_true, jnp.int32).reshape(1), feat_a, feat_b_pad)
 
