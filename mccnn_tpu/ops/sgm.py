@@ -33,6 +33,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _BIG = jnp.inf
 
@@ -71,6 +72,27 @@ def _penalties(D1, D2, pi1, pi2, tau_so, q1, q2):
     P1 = jnp.where(both_lo, pi1, jnp.where(both_hi, pi1 / (q1 * q2), pi1 / q1))
     P2 = jnp.where(both_lo, pi2, jnp.where(both_hi, pi2 / (q1 * q2), pi2 / q1))
     return P1, P2
+
+
+def _penalties3(both_lo, both_hi, pi1, pi2, q1, q2, p1a_div, p1b_div):
+    """(P1/p1a_div, P1/p1b_div, P2) with the sgm_dir alpha1 divisions
+    folded into the SELECTED CONSTANTS at trace time. Bit-exact vs the
+    per-element form: each table value is a Python float traced as an
+    f32 constant, and f32(c)/f32(div) computed here in numpy is the
+    same IEEE-f32 division the vector divide performed per element
+    (x/1.0 is x). This matters inside Pallas kernels: Mosaic has no
+    algebraic simplifier, so ``P1 / 1.0`` otherwise costs a real f32
+    vector divide EVERY recurrence step — two of them per step in the
+    horizontal sweeps, where both divisors are always 1.0."""
+    def tab(base, div):
+        f = lambda v: float(np.float32(np.float32(v) / np.float32(div)))
+        return jnp.where(both_lo, f(base),
+                         jnp.where(both_hi, f(base / (q1 * q2)),
+                                   f(base / q1)))
+
+    p1a = tab(pi1, p1a_div)
+    p1b = p1a if p1b_div == p1a_div else tab(pi1, p1b_div)
+    return p1a, p1b, tab(pi2, 1.0)
 
 
 def _shift_d(x, shift, fill):
@@ -195,15 +217,18 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                 pm = jnp.min(jnp.where(jnp.isnan(p), _BIG, p), axis=-1,
                              keepdims=True)
                 d2blk = d2_b[slot]
-                P1, P2 = _penalties(d2blk[:, D:D + 1], d2blk, pi1, pi2,
-                                    tau_so, q1, q2)
+                D1s, D2s = d2blk[:, D:D + 1], d2blk
+                P1a, P1b, P2 = _penalties3(
+                    (D1s < tau_so) & (D2s < tau_so),
+                    (D1s > tau_so) & (D2s > tau_so),
+                    pi1, pi2, q1, q2, p1a_div, p1b_div)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
                 up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
                 dn = jnp.where(lane == D - 1, _BIG,
                                pltpu.roll(p, Dp - 1, axis=1))
                 cost = jnp.fmin(p, pm + P2)
-                cost = jnp.fmin(cost, up + P1 / p1a_div)
-                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                cost = jnp.fmin(cost, up + P1a)
+                cost = jnp.fmin(cost, dn + P1b)
                 val = vol + cost - pm
                 out_b[slot] = val
                 prev[:] = val
@@ -363,14 +388,17 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                 x_al = pl.multiple_of((x // 128) * 128, 128)
                 dwin = d1_v[:, pl.ds(x_al, 128)]
                 D1 = pltpu.roll(dwin, 128 - (x - x_al), axis=1)[:, :1]
-                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                P1a, P1b, P2 = _penalties3(
+                    (D1 < tau_so) & (D2 < tau_so),
+                    (D1 > tau_so) & (D2 > tau_so),
+                    pi1, pi2, q1, q2, p1a_div, p1b_div)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
                 up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
                 dn = jnp.where(lane == D - 1, _BIG,
                                pltpu.roll(p, Dp - 1, axis=1))
                 cost = jnp.fmin(p, pm + P2)
-                cost = jnp.fmin(cost, up + P1 / p1a_div)
-                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                cost = jnp.fmin(cost, up + P1a)
+                cost = jnp.fmin(cost, dn + P1b)
                 emit(vol + cost - pm)
             out_dma(slot, t).start()
             return 0
@@ -538,6 +566,13 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
             d.start()
         cp_d1.wait()
         cp_g.wait()
+        # loop invariants, traced once at kernel scope instead of per
+        # step: the lane iota and the d-edge guard masks
+        lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+        up_edge = lane == 0
+        dn_edge = lane == D - 1
+        if wta:
+            wl = jax.lax.broadcasted_iota(jnp.int32, (St, 128), 1)
 
         def body(tg, _):
             slot = jax.lax.rem(tg, 2)
@@ -582,14 +617,16 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                 x_al = pl.multiple_of((x // 128) * 128, 128)
                 dwin = d1_v[:, pl.ds(x_al, 128)]
                 D1 = pltpu.roll(dwin, 128 - (x - x_al), axis=1)[:, :1]
-                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
-                dn = jnp.where(lane == D - 1, _BIG,
+                P1a, P1b, P2 = _penalties3(
+                    (D1 < tau_so) & (D2 < tau_so),
+                    (D1 > tau_so) & (D2 > tau_so),
+                    pi1, pi2, q1, q2, p1a_div, p1b_div)
+                up = jnp.where(up_edge, _BIG, pltpu.roll(p, 1, axis=1))
+                dn = jnp.where(dn_edge, _BIG,
                                pltpu.roll(p, Dp - 1, axis=1))
                 cost = jnp.fmin(p, pm + P2)
-                cost = jnp.fmin(cost, up + P1 / p1a_div)
-                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                cost = jnp.fmin(cost, up + P1a)
+                cost = jnp.fmin(cost, dn + P1b)
                 # scalar-predicate selects instead of control flow: the
                 # init step takes the raw volume, pad steps pass the
                 # volume through and do not advance the wavefront (the
@@ -611,7 +648,6 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                     arg = jnp.min(jnp.where(fin == m, lane, Dp), axis=-1,
                                   keepdims=True)
                     arg = jnp.where(arg >= Dp, 0, arg).astype(jnp.float32)
-                    wl = jax.lax.broadcasted_iota(jnp.int32, (St, 128), 1)
                     wta_v[:] = jnp.where(
                         wl == jax.lax.rem(x, 128), arg, wta_v[:])
                 prev[:] = jnp.where(is_pad, p, val)
@@ -886,20 +922,19 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                 if pk_mode:
                     lo = (D1 < tau_so) & (c2 == 0)
                     hi = (D1 > tau_so) & (c2 == 2)
-                    P1 = jnp.where(lo, pi1,
-                                   jnp.where(hi, pi1 / (q1 * q2), pi1 / q1))
-                    P2 = jnp.where(lo, pi2,
-                                   jnp.where(hi, pi2 / (q1 * q2), pi2 / q1))
                 else:
-                    P1, P2 = _penalties(D1, M[:, :Dp], pi1, pi2, tau_so,
-                                        q1, q2)
+                    D2 = M[:, :Dp]
+                    lo = (D1 < tau_so) & (D2 < tau_so)
+                    hi = (D1 > tau_so) & (D2 > tau_so)
+                P1a, P1b, P2 = _penalties3(lo, hi, pi1, pi2, q1, q2,
+                                           p1a_div, p1b_div)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
                 up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
                 dn = jnp.where(lane == D - 1, _BIG,
                                pltpu.roll(p, Dp - 1, axis=1))
                 cost = jnp.fmin(p, pm + P2)
-                cost = jnp.fmin(cost, up + P1 / p1a_div)
-                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                cost = jnp.fmin(cost, up + P1a)
+                cost = jnp.fmin(cost, dn + P1b)
                 emit(vol + cost - pm)
             out_dma(slot, t).start()
             return 0
@@ -984,7 +1019,10 @@ def _sweep_grid(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                                    axis=-1, keepdims=True)
                 D1 = d1_ref[k]  # (St, 1)
                 D2 = d2_ref[k]  # (St, Dp)
-                P1, P2 = _penalties(D1, D2, pi1, pi2, tau_so, q1, q2)
+                P1a, P1b, P2 = _penalties3(
+                    (D1 < tau_so) & (D2 < tau_so),
+                    (D1 > tau_so) & (D2 > tau_so),
+                    pi1, pi2, q1, q2, p1a_div, p1b_div)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
                 up = jnp.where(lane == 0, _BIG, pltpu.roll(prev, 1, axis=1))
                 # roll by Dp-1 == circular shift by -1 (pltpu.roll
@@ -992,8 +1030,8 @@ def _sweep_grid(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                 dn = jnp.where(lane == D - 1, _BIG,
                                pltpu.roll(prev, Dp - 1, axis=1))
                 cost = jnp.fmin(prev, prev_min + P2)
-                cost = jnp.fmin(cost, up + P1 / p1a_div)
-                cost = jnp.fmin(cost, dn + P1 / p1b_div)
+                cost = jnp.fmin(cost, up + P1a)
+                cost = jnp.fmin(cost, dn + P1b)
                 val = vol + cost - prev_min
                 out_ref[k] = val
                 prev_ref[:] = val
