@@ -24,9 +24,13 @@ ceiling on statically-unrolled bodies at full-row vreg widths.
   shifted g*KXG columns, ~2 MB each), so every DMA offset is aligned
   and the in-group shifts are static lane slices. The row-group
   offset rides the (8-aligned) slab row index.
-- the NaN frame pad makes out-of-frame taps fail the
-  |diff| < alpha2 comparison exactly like the reference's bounds
-  check; out-of-kernel tail-group slots get weight 0.
+- the frame pad is a LARGE FINITE value (1e30): out-of-frame taps
+  fail the |diff| < alpha2 compare exactly like the reference's
+  bounds check (as a NaN pad would), but the masked weight w=0 then
+  kills the tap via w*win with no second select (0 * 1e30 == 0,
+  whereas 0 * NaN would poison the sum) — one select per tap instead
+  of two. Inputs are finite by contract (disparity maps; the XLA
+  form in ops/post.py keeps NaN-pad semantics for generic use).
 """
 
 from __future__ import annotations
@@ -38,10 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ST = 64   # image rows per tile
+ST = 64   # image rows per tile (128 OOMs the 16M scoped VMEM)
 KG = 8    # kernel rows per grid step (sublane-aligned DMA offsets)
-KXG = 3   # kernel columns per grid step (8*3 = 24-tap body, the
-          # compiler ceiling; KXG=4 compiles but measured slower)
+KXG = 3   # kernel columns per grid step (8*3 = 24-tap body; KXG=4
+          # retimed slower again with the r04 one-select body:
+          # 9.74 vs 8.91 ms)
 
 
 def _blur_kernel(kern_ref, a2_ref, img_ref, pads_hbm, out_ref, acc, cnt,
@@ -65,24 +70,68 @@ def _blur_kernel(kern_ref, a2_ref, img_ref, pads_hbm, out_ref, acc, cnt,
         cnt[:] = jnp.zeros_like(cnt)
 
     rows_all = slab[:]
-    a, c = acc[:], cnt[:]
-    for j in range(KG):
-        dy = kg * KG + j
-        rows = jax.lax.slice(rows_all, (j, 0), (j + ST, Wp + KXG - 1))
-        for i in range(KXG):
-            kx = kxg * KXG + i
-            # tail-group slots beyond the kernel: weight 0 = no-op taps
-            valid = (dy < ksz) & (kx < ksz)
-            kidx = (jnp.minimum(dy, ksz - 1) * ksz
-                    + jnp.minimum(kx, ksz - 1))
-            win = jax.lax.slice(rows, (0, i), (ST, i + Wp))
-            wk = jnp.where(valid, kern_ref[kidx], 0.0)
-            ok = jnp.abs(win - img) < a2_ref[0]  # False for NaN taps
-            w = jnp.where(ok, wk, 0.0)
-            a = a + w * jnp.where(ok, win, 0.0)
-            c = c + w
-    acc[:] = a
-    cnt[:] = c
+
+    # tail-group waste elimination: ksz is static, so the last row
+    # group has exactly lr (not KG) real kernel rows and the last
+    # column group lc (not KXG) real columns — emit EXACT-size bodies
+    # behind pl.when branches instead of running full 24-tap bodies
+    # with zero weights (12.5% wasted rows + 4% wasted columns at the
+    # KITTI 49x49 kernel)
+    lr = ksz - (ngr - 1) * KG
+    lc = ksz - (ngx - 1) * KXG
+
+    def taps(nj, ni):
+        a, c = acc[:], cnt[:]
+        for j in range(nj):
+            dy = kg * KG + j
+            rows = jax.lax.slice(rows_all, (j, 0), (j + ST, Wp + KXG - 1))
+            for i in range(ni):
+                kx = kxg * KXG + i
+                kidx = dy * ksz + kx
+                win = jax.lax.slice(rows, (0, i), (ST, i + Wp))
+                wk = kern_ref[kidx]
+                ok = jnp.abs(win - img) < a2_ref[0]  # False for pad taps
+                w = jnp.where(ok, wk, 0.0)
+                a = a + w * win  # pad taps are finite: w=0 kills them
+                c = c + w
+        acc[:] = a
+        cnt[:] = c
+
+    last_r, last_c = kg == ngr - 1, kxg == ngx - 1
+    if lr == KG and lc == KXG:
+        taps(KG, KXG)
+    elif lr == KG:
+        @pl.when(~last_c)
+        def _():
+            taps(KG, KXG)
+
+        @pl.when(last_c)
+        def _():
+            taps(KG, lc)
+    elif lc == KXG:
+        @pl.when(~last_r)
+        def _():
+            taps(KG, KXG)
+
+        @pl.when(last_r)
+        def _():
+            taps(lr, KXG)
+    else:
+        @pl.when(~last_r & ~last_c)
+        def _():
+            taps(KG, KXG)
+
+        @pl.when(~last_r & last_c)
+        def _():
+            taps(KG, lc)
+
+        @pl.when(last_r & ~last_c)
+        def _():
+            taps(lr, KXG)
+
+        @pl.when(last_r & last_c)
+        def _():
+            taps(lr, lc)
 
     @pl.when((kg == ngr - 1) & (kxg == ngx - 1))
     def _():
@@ -127,15 +176,16 @@ def mean2d_pallas(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float,
     ngr = -(-ksz // KG)
     ngx = -(-ksz // KXG)
     img_p = jnp.pad(img.astype(jnp.float32), ((0, Hp - H), (0, Wp - W)),
-                    constant_values=jnp.nan)
-    # frame pad: NaN taps fail the threshold compare = bounds clipping.
+                    constant_values=1e30)
+    # frame pad: far-value taps fail the threshold compare = bounds
+    # clipping (see module docstring: finite pad, one select per tap).
     # Sample row/col for (y, dy/kx) is y + d - r; with an r top/left
     # pad the slab row is y + dy and pads[g] column x + i maps to
     # x + g*KXG + i - r. Width aligned to a lane tile.
     WS = -(-(Wp + KXG - 1) // 128) * 128
     reach = ngx * KXG  # pre-shift coverage
     base = jnp.pad(img_p, ((r, ngr * KG + KG - r), (r, reach + WS - Wp - r)),
-                   constant_values=jnp.nan)
+                   constant_values=1e30)
     pads = jnp.stack([jax.lax.slice_in_dim(base, g * KXG, g * KXG + WS,
                                            axis=1)
                       for g in range(ngx)])

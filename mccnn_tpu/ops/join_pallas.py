@@ -56,7 +56,8 @@ YB = 16   # rows per grid step (r03 sweep: 15.3 -> 14.7 ms for both
 
 def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
                disp_max: int, W: int, H: int, n_fix: int,
-               interpret: bool, out_dtype=jnp.float32) -> jnp.ndarray:
+               interpret: bool, out_dtype=jnp.float32,
+               shear: str | None = None) -> jnp.ndarray:
     """out[y, x, d] = -<a[y, x], b[y, x + d]>, NaN where x + d >= W or
     d >= d_true or y >= H (pad rows, masked at write time — a
     post-hoc where would re-stream the whole volume), with rows
@@ -92,8 +93,11 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
     # hardware strided rotate per block instead of log2(XB) masked
     # roll+select passes; bit-identical output (the Gram values are
     # unchanged, only their movement differs). MCCNN_JOIN_SHEAR=log
-    # restores the old form for A/B.
-    stride_shear = os.environ.get("MCCNN_JOIN_SHEAR", "stride") != "log"
+    # restores the old form for A/B; tests pass ``shear`` explicitly
+    # (an env read alone is invisible to the jit cache).
+    if shear is None:
+        shear = os.environ.get("MCCNN_JOIN_SHEAR", "stride")
+    stride_shear = shear != "log"
     if stride_shear:
         # Wp-domain x-flip of the reference-side map: combined with the
         # REVERSED a-block index map below, grid step xb's a-tile rows
@@ -249,11 +253,12 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
 
 @functools.partial(jax.jit, static_argnames=("disp_max", "n_fix",
                                              "interpret", "sides",
-                                             "out_dtype"))
+                                             "out_dtype", "shear"))
 def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
                         disp_max: int, n_fix: int = 0,
                         interpret: bool = False, sides: str = "both",
-                        d_true=None, out_dtype: str = "float32"):
+                        d_true=None, out_dtype: str = "float32",
+                        shear: str | None = None):
     """Both cost volumes in padded disparity-minor layout.
 
     feat_l/feat_r: (H, W, C) L2-normalized maps. Returns
@@ -296,12 +301,12 @@ def stereo_join_mxu_hwd(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     odt = jnp.dtype(out_dtype)
     vol_l_xrev = _join_plus(prep(feat_l, True, False),
                             prep(feat_r, True, True), dt, D, W, H, n_fix,
-                            interpret, odt)
+                            interpret, odt, shear)
     if sides == "left":
         return vol_l_xrev
     vol_r = _join_plus(prep(feat_r, False, False),
                        prep(feat_l, False, True), dt, D, W, H, n_fix,
-                       interpret, odt)
+                       interpret, odt, shear)
     return vol_l_xrev, vol_r
 
 

@@ -222,10 +222,12 @@ def _sweep_stream(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                     (D1s < tau_so) & (D2s < tau_so),
                     (D1s > tau_so) & (D2s > tau_so),
                     pi1, pi2, q1, q2, p1a_div, p1b_div)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
-                dn = jnp.where(lane == D - 1, _BIG,
-                               pltpu.roll(p, Dp - 1, axis=1))
+                up = pltpu.roll(p, 1, axis=1)
+                dn = pltpu.roll(p, Dp - 1, axis=1)
+                if D == Dp:  # no NaN pad lanes: mask the d-edge wraps
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                    up = jnp.where(lane == 0, _BIG, up)
+                    dn = jnp.where(lane == D - 1, _BIG, dn)
                 cost = jnp.fmin(p, pm + P2)
                 cost = jnp.fmin(cost, up + P1a)
                 cost = jnp.fmin(cost, dn + P1b)
@@ -392,10 +394,12 @@ def _sweep_stream_hslab(vol_s, d1_slab, g_slab, n_rev_tiles, reverse_steps,
                     (D1 < tau_so) & (D2 < tau_so),
                     (D1 > tau_so) & (D2 > tau_so),
                     pi1, pi2, q1, q2, p1a_div, p1b_div)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
-                dn = jnp.where(lane == D - 1, _BIG,
-                               pltpu.roll(p, Dp - 1, axis=1))
+                up = pltpu.roll(p, 1, axis=1)
+                dn = pltpu.roll(p, Dp - 1, axis=1)
+                if D == Dp:  # no NaN pad lanes: mask the d-edge wraps
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                    up = jnp.where(lane == 0, _BIG, up)
+                    dn = jnp.where(lane == D - 1, _BIG, dn)
                 cost = jnp.fmin(p, pm + P2)
                 cost = jnp.fmin(cost, up + P1a)
                 cost = jnp.fmin(cost, dn + P1b)
@@ -621,9 +625,15 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                     (D1 < tau_so) & (D2 < tau_so),
                     (D1 > tau_so) & (D2 > tau_so),
                     pi1, pi2, q1, q2, p1a_div, p1b_div)
-                up = jnp.where(up_edge, _BIG, pltpu.roll(p, 1, axis=1))
-                dn = jnp.where(dn_edge, _BIG,
-                               pltpu.roll(p, Dp - 1, axis=1))
+                # d-edge guards only when D == Dp: with pad lanes
+                # present the wrapped neighbors are NaN pad values and
+                # fmin already excludes them (bit-identical, 2 fewer
+                # selects per step)
+                up = pltpu.roll(p, 1, axis=1)
+                dn = pltpu.roll(p, Dp - 1, axis=1)
+                if D == Dp:
+                    up = jnp.where(up_edge, _BIG, up)
+                    dn = jnp.where(dn_edge, _BIG, dn)
                 cost = jnp.fmin(p, pm + P2)
                 cost = jnp.fmin(cost, up + P1a)
                 cost = jnp.fmin(cost, dn + P1b)
@@ -928,10 +938,12 @@ def _sweep_stream_vslab(vol_s, d1_slab, g_rev, g_nat, n_rev_tiles,
                     hi = (D1 > tau_so) & (D2 > tau_so)
                 P1a, P1b, P2 = _penalties3(lo, hi, pi1, pi2, q1, q2,
                                            p1a_div, p1b_div)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-                up = jnp.where(lane == 0, _BIG, pltpu.roll(p, 1, axis=1))
-                dn = jnp.where(lane == D - 1, _BIG,
-                               pltpu.roll(p, Dp - 1, axis=1))
+                up = pltpu.roll(p, 1, axis=1)
+                dn = pltpu.roll(p, Dp - 1, axis=1)
+                if D == Dp:  # no NaN pad lanes: mask the d-edge wraps
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                    up = jnp.where(lane == 0, _BIG, up)
+                    dn = jnp.where(lane == D - 1, _BIG, dn)
                 cost = jnp.fmin(p, pm + P2)
                 cost = jnp.fmin(cost, up + P1a)
                 cost = jnp.fmin(cost, dn + P1b)
@@ -1023,12 +1035,15 @@ def _sweep_grid(vol_s, d1_s, d2_s, pi1, pi2, tau_so, alpha1, q1, q2,
                     (D1 < tau_so) & (D2 < tau_so),
                     (D1 > tau_so) & (D2 > tau_so),
                     pi1, pi2, q1, q2, p1a_div, p1b_div)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
-                up = jnp.where(lane == 0, _BIG, pltpu.roll(prev, 1, axis=1))
                 # roll by Dp-1 == circular shift by -1 (pltpu.roll
-                # requires a non-negative shift)
-                dn = jnp.where(lane == D - 1, _BIG,
-                               pltpu.roll(prev, Dp - 1, axis=1))
+                # requires a non-negative shift); d-edge wraps are NaN
+                # pad lanes unless D == Dp (see the slab kernels)
+                up = pltpu.roll(prev, 1, axis=1)
+                dn = pltpu.roll(prev, Dp - 1, axis=1)
+                if D == Dp:
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (St, Dp), 1)
+                    up = jnp.where(lane == 0, _BIG, up)
+                    dn = jnp.where(lane == D - 1, _BIG, dn)
                 cost = jnp.fmin(prev, prev_min + P2)
                 cost = jnp.fmin(cost, up + P1a)
                 cost = jnp.fmin(cost, dn + P1b)

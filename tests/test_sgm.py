@@ -55,7 +55,9 @@ def test_sgm_alpha1_affects_vertical_only():
 
 
 @pytest.mark.parametrize("reverse", [False, True])
-def test_sweep_hnat_interpret_vs_scan(reverse):
+@pytest.mark.parametrize("D", [100, 128])  # D < Dp (NaN-pad-lane edge
+# elision) and D == Dp (explicit d-edge guards) — ops/sgm.py
+def test_sweep_hnat_interpret_vs_scan(reverse, D):
     """The natural-layout K-batched horizontal sweep (the HWD lane's
     production horizontal kernel, _sweep_stream_hnat) against the
     lax.scan sweep in interpret mode, including the accumulator chain,
@@ -66,7 +68,7 @@ def test_sweep_hnat_interpret_vs_scan(reverse):
 
     rng = np.random.RandomState(11 + reverse)
     Sp, Tp, Dp = 64, 256, 128   # padded scanlines / steps / lanes
-    T, D, K = 250, 100, 8       # real steps / disparities
+    T, K = 250, 8               # real steps
     vol = rng.rand(Sp, Tp, Dp).astype(np.float32)
     vol[:, :, D:] = np.nan
     vol[:, T:, :] = np.nan

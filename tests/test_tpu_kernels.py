@@ -172,6 +172,35 @@ def test_stereo_join_mxu_vs_naive(shape):
     assert_close(np.asarray(got_r), want_r, tol=1e-4)
 
 
+def test_join_shear_modes_bit_identical():
+    """The strided-rotate diagonal shear (default) must be BIT-equal to
+    the log-step masked-roll form: the Gram matmuls are identical and
+    the permutation-matmul row reverse is exact by the truncating bf16
+    split (join_pallas._join_plus)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops.join_pallas import stereo_join_mxu_hwd
+
+    H, W, C, D = 37, 300, 64, 70
+    rng = np.random.RandomState(7)
+    fl = rng.randn(H, W, C).astype(np.float32)
+    fr = rng.randn(H, W, C).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+    outs = {}
+    for mode in ("log", "stride"):
+        outs[mode] = stereo_join_mxu_hwd(
+            jnp.asarray(fl), jnp.asarray(fr), D, n_fix=2,
+            interpret=jax.default_backend() != "tpu", shear=mode)
+    for i in range(2):
+        a = np.asarray(outs["log"][i])
+        b = np.asarray(outs["stride"][i])
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.array_equal(np.nan_to_num(a, nan=7.0),
+                              np.nan_to_num(b, nan=7.0))
+
+
 def test_pipeline_fast_pallas_vs_xla():
     """Full fast-arch pipeline: Pallas kernels (join + SGM) vs the pure
     XLA formulation on one small standardized pair must agree."""
