@@ -46,6 +46,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Diagonal-extraction strategy default, read ONCE at import: the env
+# var participates in jit cache keys only through the traced Python
+# value, so a mid-process env change would otherwise silently not take
+# effect (the first call's trace is cached under shear=None). A/B runs
+# must set MCCNN_JOIN_SHEAR before importing, or pass shear= explicitly
+# (as the tests do).
+_JOIN_SHEAR_DEFAULT = os.environ.get("MCCNN_JOIN_SHEAR", "stride")
+
 XB = 128  # output columns per grid step (measured optimum on v5e:
           # 192/256 either exceed the kernel's VMEM budget or run
           # slower — the shear's rolled copies scale with XB*SLAB;
@@ -93,10 +101,10 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
     # hardware strided rotate per block instead of log2(XB) masked
     # roll+select passes; bit-identical output (the Gram values are
     # unchanged, only their movement differs). MCCNN_JOIN_SHEAR=log
-    # restores the old form for A/B; tests pass ``shear`` explicitly
-    # (an env read alone is invisible to the jit cache).
+    # (read once at import — see _JOIN_SHEAR_DEFAULT) restores the old
+    # form for A/B; tests pass ``shear`` explicitly.
     if shear is None:
-        shear = os.environ.get("MCCNN_JOIN_SHEAR", "stride")
+        shear = _JOIN_SHEAR_DEFAULT
     stride_shear = shear != "log"
     if stride_shear:
         # Wp-domain x-flip of the reference-side map: combined with the
@@ -174,7 +182,12 @@ def _join_plus(feat_a: jnp.ndarray, feat_b_pad: jnp.ndarray, d_true,
             # (mask, not round — each piece is exactly bf16, the
             # pieces' bit ranges are disjoint, so v1+v2+v3 == v and
             # every 1.0*x / 0.0*x product and one-term f32 sum in the
-            # permutation matmul is exact).
+            # permutation matmul is exact). Precondition: |v| must stay
+            # >= ~2^-117 — below that the v2/v3 pieces fall under
+            # bf16's subnormal floor and the cast rounds, breaking
+            # exactness. L2-normalized feature dots (|dot| <= 1, f32
+            # underflow far above that floor) satisfy it; a reuse of
+            # this split on tiny-magnitude data must re-check.
             P = jnp.broadcast_to(
                 (jax.lax.broadcasted_iota(jnp.int32, (XB, XB), 0)
                  + jax.lax.broadcasted_iota(jnp.int32, (XB, XB), 1)

@@ -332,8 +332,16 @@ def mean2d(img: jnp.ndarray, kernel: jnp.ndarray, alpha2: float) -> jnp.ndarray:
     the accumulators and the column taps are a static unroll of
     shifted masked adds on a NaN-padded image — pure fused VPU
     stencil work, no gathers and no (H, W, ksz) materialization.
-    Out-of-frame taps are excluded by the NaN padding (NaN fails the
-    |diff| < alpha2 comparison)."""
+    Out-of-frame taps are excluded by the boundary padding (the XLA
+    path pads with NaN, which fails the |diff| < alpha2 comparison;
+    the Pallas kernel pads with a finite 1e30 for the same effect).
+
+    Input contract: ``img`` values must be FINITE. The Pallas kernel's
+    finite-pad form poisons a window via 0*NaN=NaN if an input VALUE
+    is NaN, where the XLA form would cleanly exclude that tap — the
+    two backends diverge on NaN inputs. The pipeline always satisfies
+    this (disparity maps are finite after subpixel/median); callers
+    needing NaN-tolerant taps must use the XLA form explicitly."""
     from mccnn_tpu.ops.sgm import _pallas_default
 
     if _pallas_default():

@@ -95,6 +95,9 @@ def test_gaussian_kernel_matches_lua():
     ((40, 150), 1.7, 2.0),    # multi-row-group kernel, small image
     ((70, 200), 7.74, 5.0),   # the KITTI 49x49 production kernel
     ((64, 128), 2.78, 3.0),   # exact-tile image
+    ((40, 150), 1.33, 2.0),   # ksz=9: ksz % 3 == 0 (tail group lands
+                              # exactly on the group size — lc == KXG
+                              # branch in blur_pallas tail elision)
 ])
 def test_mean2d_pallas_interpret(shape, sigma, alpha2):
     """The VMEM-resident Pallas blur stencil (interpret mode, runs
