@@ -43,6 +43,7 @@ math is f32.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 R = 8      # image rows per grid step
 XT = 128   # image columns per grid step (one lane tile)
 KD = 128   # disparities per chunk (one lane tile of output)
+# independent chains interleaved per loop iteration (A/B'd on chip,
+# full volumes incl transpose: 2 -> 558.2 ms, 3 -> 560.0, 4 -> 550.2,
+# 6 -> 560.6, 8 -> 553.4; checksums bit-identical; read once at import)
+UNROLL = int(os.environ.get("MCCNN_SLOW_UNROLL", "4"))
 
 
 def _head_chain_kernel(a_ref, wm_ref, bm_ref, wl_ref, bl_ref, b_hbm,
@@ -94,16 +99,21 @@ def _head_chain_kernel(a_ref, wm_ref, bm_ref, wl_ref, bl_ref, b_hbm,
         return jax.nn.sigmoid(s)
 
     def one_pair(j, acc):
-        # manual unroll-by-2: two INDEPENDENT matmul chains interleave
-        # on the MXU while the other's VPU tail (relu/sum/sigmoid)
-        # runs; lane j*2+1 may exceed nd in an odd tail — it lands on
-        # a pad lane the caller crops, never on real output
-        i0 = j * 2
-        acc = jnp.where(lane == i0, chain(i0), acc)
-        return jnp.where(lane == i0 + 1, chain(i0 + 1), acc)
+        # manual unroll: UNROLL INDEPENDENT matmul chains interleave
+        # on the MXU while the others' VPU tails (relu/sum/sigmoid)
+        # run; a tail lane j*UNROLL+k may exceed nd — it lands on a
+        # pad lane the caller crops, never on real output. Lanes past
+        # KD-1 (possible when nd == KD and KD % UNROLL != 0) match no
+        # output lane at all; their slab offset is clamped to stay
+        # in-bounds and the computed column is discarded by the mask.
+        i0 = j * UNROLL
+        for k in range(UNROLL):
+            acc = jnp.where(lane == i0 + k,
+                            chain(jnp.minimum(i0 + k, KD - 1)), acc)
+        return acc
 
     nd = jnp.minimum(KD, D - gd * KD)  # skip pad disparities
-    acc = jax.lax.fori_loop(0, (nd + 1) // 2, one_pair,
+    acc = jax.lax.fori_loop(0, (nd + UNROLL - 1) // UNROLL, one_pair,
                             jnp.zeros((XT * R, KD), jnp.float32))
     out_ref[:] = acc.reshape(XT, R, KD)
 

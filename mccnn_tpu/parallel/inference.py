@@ -201,6 +201,10 @@ def make_sharded_predict(cfg: Config, mesh: Mesh, disp_max: int,
         params = jax.device_put(params, repl)
         return predict(params, x0, x1)
 
+    # exposed for tests: lets the medium-shape equality test inspect
+    # the compiled HLO (vertical-family resharding present, horizontal
+    # family communication-free)
+    run._predict = predict
     return run
 
 

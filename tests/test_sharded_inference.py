@@ -99,6 +99,42 @@ def test_row_sharded_fast_matches_single(cpu_mesh):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_row_sharded_fast_medium_shape(cpu_mesh):
+    """VERDICT r04 #7: the row-sharded hybrid at a MEDIUM shape
+    (128x256, D=32 — the other coverage tops out at 48x128), asserting
+    (1) equality with the single-device pipeline, and (2) the compiled
+    HLO's communication structure: the vertical SGM family's
+    GSPMD resharding collective is present (the volume moves to a
+    column layout to scan across row shards), while the horizontal
+    family and join run inside shard_map with no collective of their
+    own — the only collective kinds in the program are the reshard
+    all-to-all(/permute) family and small all-reduce/all-gathers from
+    GSPMD bookkeeping, never a reduce-scatter (nothing is
+    cross-shard-reduced on this path)."""
+    from mccnn_tpu.cli import init_params
+
+    Hm, Wm, Dm = 128, 256, 32
+    rng2 = np.random.RandomState(13)
+    base = rng2.randn(Hm, Wm + Dm).astype(np.float32)
+    x0 = base[:, Dm:]
+    x1 = base[:, :-Dm]
+    cfg = make_config("kitti", "fast", a="predict")
+    params = init_params(cfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(stereo_predict(cfg, params, x0, x1, Dm))
+    run = make_sharded_predict(cfg, cpu_mesh, Dm)
+    got = np.asarray(run(params, x0, x1))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    hlo = run._predict.lower(
+        jax.device_put(params), x0, x1).compile().as_text()
+    assert ("all-to-all" in hlo) or ("collective-permute" in hlo), (
+        "expected the vertical-family GSPMD reshard collective")
+    assert "reduce-scatter" not in hlo, (
+        "row-sharded path compiled a reduce-scatter; nothing on this "
+        "path is cross-shard-reduced")
+
+
 def test_batch_sharded_vol_dtype_guard():
     """The batch serving lane must reject -vol_dtype when the HWD
     Pallas path is unavailable (same no-silent-f32 contract as

@@ -11,19 +11,17 @@ chunk prefetch + device scan) for both window transports:
     host ships only ~10 KB/step of origins/affines and each step
     gathers its windows on device (train/augment.gather_windows_device).
 
-Protocol: 2 epochs over a subset sized to ~X steps/epoch; epoch 1 pays
-the jit compile, epoch 2 is the measured steady state (the per-epoch
-log line carries cumulative elapsed). Run:  python tools/train_bench.py
+Protocol: 2 epochs over a trimmed nnz table (~target_steps
+steps/epoch); epoch 1 pays the jit compile, epoch 2 is the measured
+steady state (the per-epoch log line carries cumulative elapsed).
+Run:  python tools/train_bench.py [host|device|both]
 """
 
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 
 def bench(device_gather: bool, data_dir: str, target_steps: int = 400):
@@ -36,42 +34,27 @@ def bench(device_gather: bool, data_dir: str, target_steps: int = 400):
     cfg = make_config("kitti", "fast", a="train_tr")
     cfg.data_dir = data_dir
     ds = load_kitti(cfg)
-    n_rows = len(ds.nnz_for_action(cfg.a))
     bs_half = cfg.bs // 2
-    cfg.subset = min(1.0, target_steps * bs_half / n_rows)
+    # cap the epoch at ~target_steps minibatches by trimming the nnz
+    # table directly (cfg.subset subsets whole IMAGES — too coarse for
+    # a bench); the rows are pre-shuffled at generation time
+    ds.nnz_tr = ds.nnz_tr[: target_steps * bs_half + bs_half]
+    n_steps = trainer.n_epoch_steps(len(ds.nnz_tr), bs_half)
     params = init_params(cfg)
 
     lines = []
-    t_marks = []
-
-    def log(msg):
-        lines.append(str(msg))
-        t_marks.append(time.perf_counter())
-
-    t0 = time.perf_counter()
-    trainer.train(cfg, ds, params, epochs=2, log=log)
+    trainer.train(cfg, ds, params, epochs=2, log=lambda m: lines.append(str(m)))
     epoch_lines = [l for l in lines if l.split("\t")[0] in ("1", "2")]
     assert len(epoch_lines) == 2, lines
     e1 = float(epoch_lines[0].split("\t")[3])
     e2 = float(epoch_lines[1].split("\t")[3])
-    n_eff = int(len(ds.nnz_for_action(cfg.a)) * cfg.subset)
-    # steps actually run per epoch (trainer.n_epoch_steps over the
-    # subset rows)
-    rows = trainer.n_epoch_steps(
-        len(trainer.subset_nnz(ds.nnz_for_action(cfg.a),
-                               ds.tr[:max(1, int(len(ds.tr) * cfg.subset))])),
-        bs_half)
-    # recompute exactly the way train() does
-    rng = np.random.RandomState(cfg.seed)
-    keep = rng.permutation(len(ds.tr))[: int(len(ds.tr) * cfg.subset)]
-    nnz = trainer.subset_nnz(ds.nnz_for_action(cfg.a), ds.tr[keep])
-    n_steps = trainer.n_epoch_steps(len(nnz), bs_half)
     steady = e2 - e1
     name = "device" if device_gather else "host"
     print(f"{name}-gather: {n_steps} steps/epoch, epoch1 {e1:.1f}s "
           f"(incl compile), epoch2 {steady:.1f}s -> "
           f"{n_steps / steady:.1f} steps/s "
-          f"({n_steps / steady * cfg.bs * 2:.0f} patch-pair examples/s)")
+          f"({n_steps / steady * cfg.bs * 2:.0f} patch-pair examples/s)",
+          flush=True)
     return n_steps / steady
 
 
@@ -81,7 +64,8 @@ def main():
         d = os.path.join(tempfile.gettempdir(), "mccnn_train_bench")
     data = os.path.join(d, "data.kitti")
     if not os.path.exists(os.path.join(data, "x0.bin")):
-        print("generating KITTI-scale synthetic set (8 x 350x1242)...")
+        print("generating KITTI-scale synthetic set (8 x 350x1242)...",
+              flush=True)
         from mccnn_tpu.data.datasets import make_synthetic_kitti
         make_synthetic_kitti(data, n_images=8, height=350, width=1242,
                              disp_max=228)
