@@ -607,24 +607,15 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
             v_nat = jnp.swapaxes(vol_b[slot].astype(jnp.float32), 0, 1)
             a_nat = (jnp.swapaxes(acc_b[slot].astype(jnp.float32), 0, 1)
                      if with_acc else None)
-            # group-base penalty windows: the K steps of a DMA group
-            # advance the D1/D2 lane offsets by exactly 1, so ONE
-            # dynamic (log-step masked) roll per group aligns the
-            # group's first step at lane 0 and each step's window is
-            # then a STATIC roll by k (a Python constant in the
-            # unrolled loop, a single vector permute) — 2 dynamic
-            # shears per K=8 steps instead of 2 per step. The GW-wide
-            # window always fits the caller's GL (= W+K+D+Dp+128
-            # rounded up): off_al + Dp + 256 <= GL for every residue
-            # of (T + D) mod 128.
-            off0 = g * K + D
-            off_al = pl.multiple_of((off0 // 128) * 128, 128)
-            GW = Dp + 256
-            gw = pltpu.roll(g_v[:, pl.ds(off_al, GW)],
-                            GW - (off0 - off_al), axis=1)
-            x_al = pl.multiple_of(((g * K) // 128) * 128, 128)
-            dw = pltpu.roll(d1_v[:, pl.ds(x_al, 256)],
-                            256 - (g * K - x_al), axis=1)
+            # Per-step D1/D2 window extraction by dynamic roll. A
+            # group-base variant (one dynamic roll per K-step group +
+            # static per-step rolls of a Dp+256 window) was built,
+            # validated bit-exact, and measured a reproducible ~0.3 ms
+            # NET NEGATIVE on the full pipeline (52.23 -> 52.52 ms):
+            # uniform dynamic rolls lower cheaply on this toolchain
+            # (tools/roll_probe.py) and the wider static rolls cost
+            # more than the dynamic-roll savings. Reverted; see PERF.md
+            # round 5.
             finals = [None] * K
             ks = range(K - 1, -1, -1) if reverse_steps else range(K)
             for k in ks:
@@ -635,8 +626,14 @@ def _sweep_stream_hnat(vol, d1_slab, g_slab, reverse_steps, D, T,
                 vol_k = v_nat[k]
                 p = prev[:]
                 pm = jnp.min(jnp.fmin(p, _BIG), axis=-1, keepdims=True)
-                D2 = (pltpu.roll(gw, GW - k, axis=1) if k else gw)[:, :Dp]
-                D1 = (pltpu.roll(dw, 256 - k, axis=1) if k else dw)[:, :1]
+                off = x + D
+                off_al = pl.multiple_of((off // 128) * 128, 128)
+                rem = off - off_al
+                gwin = g_v[:, pl.ds(off_al, Dp + 128)]
+                D2 = pltpu.roll(gwin, (Dp + 128) - rem, axis=1)[:, :Dp]
+                x_al = pl.multiple_of((x // 128) * 128, 128)
+                dwin = d1_v[:, pl.ds(x_al, 128)]
+                D1 = pltpu.roll(dwin, 128 - (x - x_al), axis=1)[:, :1]
                 P1a, P1b, P2 = _penalties3(
                     (D1 < tau_so) & (D2 < tau_so),
                     (D1 > tau_so) & (D2 > tau_so),
