@@ -9,8 +9,12 @@ stage (11.2 ms of the ~73 ms pipeline in the XLA stencil form).
 TPU-native design, shaped by three Mosaic limits bisected on hardware
 (PERF.md "negative result" section documents the bisections):
 aligned-only DMA offsets, no dynamic lane shifts (dynamic
-``pltpu.roll`` MISCOMPILES past two lane tiles), and a ~24-40-tap
-ceiling on statically-unrolled bodies at full-row vreg widths.
+``pltpu.roll`` miscompiled past two lane tiles when this kernel was
+designed — obsolete as of round 5, tools/roll_probe.py, but the
+pre-shift design stays: an in-kernel dynamic roll would trade the
+~equal prep cost for per-grid-step VPU work in a body already at the
+op ceiling), and a ~24-40-tap ceiling on statically-unrolled bodies
+at full-row vreg widths.
 
 - grid = (row-tile, kernel-row group of KG=8, kernel-col group of
   KXG=3): both kernel axes are inner grid dimensions, so the output
