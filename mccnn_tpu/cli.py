@@ -99,8 +99,15 @@ def action_time(cfg: Config) -> None:
         H, W, disp_max = 1000, 1500, 200
 
     rng = np.random.RandomState(cfg.seed)
-    x0 = rng.randn(H, W).astype(np.float32)
-    x1 = rng.randn(H, W).astype(np.float32)
+    # inputs live ON DEVICE across iterations, like the reference's
+    # x_batch on the GPU (main.lua:1146-1151): passing host numpy into
+    # the jit re-uploads ~3.5-12 MB through the tunnel EVERY iteration,
+    # which inflated the mb-fast protocol 3x (0.34 -> 0.11 s, PERF.md
+    # round 5)
+    import jax
+
+    x0 = jax.device_put(rng.randn(H, W).astype(np.float32))
+    x1 = jax.device_put(rng.randn(H, W).astype(np.float32))
     params = load_params(cfg)
 
     n = 30 if cfg.arch == "fast" else 3
