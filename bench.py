@@ -91,6 +91,8 @@ def main():
         ("fast_bf16all", "fast_bf16all_pairs_per_s",
          lambda: _bench_bf16vol(params, x0, x1, disp_max,
                                 dtype="bfloat16")),
+        ("mb_fast", "mb_fast_pairs_per_s",
+         lambda: _bench_mb_fast(x0, x1)),
         # LAST: the heaviest lane (MB half-res scale, ~22 min cold
         # compile through the tunnel — only viable when the persistent
         # compile cache is warm, which the end-of-round warmup ensures;
@@ -190,6 +192,38 @@ def _bench_arch(arch, x0, x1, disp_max):
         out = run()
         float(jnp.sum(out))
         dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return 1.0 / best
+
+
+def _bench_mb_fast(x0, x1):
+    """Fast arch at Middlebury half-res scale (1000x1500, D=200,
+    single evaluation direction per main.lua:954-955; the HWD lane —
+    MB fast has cbca 0/0). Amortized protocol like the headline;
+    measured 106 ms/pair = 9.4 pairs/s (PERF.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.config import make_config
+    from mccnn_tpu.pipeline import stereo_predict
+    from mccnn_tpu.cli import init_params
+
+    H, W, D = 1000, 1500, 200
+    t0 = jax.device_put(np.tile(np.asarray(x0), (3, 2))[:H, :W])
+    t1 = jax.device_put(np.tile(np.asarray(x1), (3, 2))[:H, :W])
+    cfg = make_config("mb", "fast", a="time")
+    params = init_params(cfg)
+    run = lambda: stereo_predict(cfg, params, t0, t1, D)
+    sync = lambda o: float(jnp.sum(jnp.nan_to_num(o)))
+    sync(run())  # compile + warm
+    N = 10
+    best = None
+    for _ in range(3):
+        t_s = time.perf_counter()
+        for _ in range(N):
+            out = run()
+        sync(out)
+        dt = (time.perf_counter() - t_s) / N
         best = dt if best is None else min(best, dt)
     return 1.0 / best
 
